@@ -1,0 +1,70 @@
+"""Engine configuration.
+
+Scale-oriented knobs. The sandbox runs ``local[8..32]``, but every default is
+chosen so the same plan holds on a 1000-executor cluster over 10^12 turns
+(BASELINE.json north_rule): group sizes handed to ``applyInPandas`` are
+bounded by ``docs_per_shard`` (never by a term's df), posting blocks are
+fixed-size, and shuffle parallelism is a parameter, not a constant.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Standard Robertson/Sparck-Jones BM25 (SURVEY §2.3 scoring note).
+
+    ``reference`` scoring mode is the degenerate parameterization of this
+    (idf=1, k1→∞, b=0, conjunctive candidates) — the reference's
+    Σtf-over-AND-matches ranking, ``SearchServiceImpl.java:107-167``.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        """Lucene-style non-negative idf: ln(1 + (N - df + .5)/(df + .5))."""
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Posting-block geometry (SURVEY §4.3.2): one block = ≤block_size postings
+    # of one (term, shard); block metadata powers block-max WAND pruning.
+    block_size: int = 128
+
+    # Doc-range sharding (SURVEY §4.3.3 skew handling): shard =
+    # doc_id // docs_per_shard. Every applyInPandas group is ≤ min(df,
+    # docs_per_shard) postings, so a df≈N stopword term is split into
+    # ceil(N / docs_per_shard) independently-sorted, independently-compressed
+    # contiguous doc ranges — the skewed-term "salted shuffle" whose merge is
+    # an ordered concat, never a re-sort. At query time shards double as the
+    # WAND kernel's unit of parallelism (all query terms co-partitioned by
+    # doc range). None → derived from corpus size and `parallelism`.
+    docs_per_shard: int | None = None
+
+    # Shuffle / range-partition width. local: ~cores; cluster: ~2-3× cores.
+    parallelism: int = 32
+
+    bm25: BM25Params = field(default_factory=BM25Params)
+
+    # Search defaults — the reference's API defaults
+    # (controllers/ApiController.java:59-64).
+    default_limit: int = 20
+    default_offset: int = 0
+
+    # Snippet window in words (LemmaSearcherImpl.java:218).
+    snippet_window: int = 40
+
+    def shard_size(self, n_docs: int) -> int:
+        """Resolve docs_per_shard: aim ≈4 shards/core locally, bounded below
+        so tiny corpora stay in one shard and above so a group's pandas frame
+        stays O(100MB) at any df."""
+        if self.docs_per_shard is not None:
+            return self.docs_per_shard
+        target_shards = max(1, 4 * self.parallelism)
+        return max(256, math.ceil(max(1, n_docs) / target_shards))

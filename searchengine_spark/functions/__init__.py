@@ -1,0 +1,13 @@
+from searchengine_spark.functions.lemmatize import (  # noqa: F401
+    lemmatize_text,
+    lemmatize_token,
+    lemma_counts,
+    query_lemmas,
+    lemmas_udf,
+)
+from searchengine_spark.functions.codec import (  # noqa: F401
+    varint_encode,
+    varint_decode,
+    delta_encode,
+    delta_decode,
+)
