@@ -31,8 +31,9 @@ from __future__ import annotations
 
 import re
 from collections import Counter
-from collections.abc import Iterator
-from typing import Optional
+from typing import Iterator, Optional
+
+import pandas as pd
 
 # --- T2: the reference tokenizer regex, verbatim semantics -----------------
 _CYR = "А-ЯЁа-яё"
@@ -199,7 +200,6 @@ def lemmas_udf():
 
     Lazy so importing this module never requires an active SparkSession.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("array<string>")

@@ -109,8 +109,12 @@ class OracleEngine:
         else:
             cand["relevance"] = cand["score"]
         cand = cand.merge(self.documents, on="doc_id")
+        # rank by score rounded to 9 decimals (same as the engine) so that
+        # mathematically-equal scores order identically regardless of float
+        # accumulation order (SURVEY §7 float-equality risk)
+        cand["_key"] = cand["score"].round(9)
         cand = cand.sort_values(
-            ["relevance", "conv_id", "turn_idx"],
+            ["_key", "conv_id", "turn_idx"],
             ascending=[False, True, True],
             kind="mergesort",
         )

@@ -1,0 +1,245 @@
+"""Index-build pipeline: transcripts → documents/terms/postings tables,
+checkpointed per stage with lineage + metrics (SURVEY §3.2 target lifecycle,
+§4.3.5).
+
+The reference's analog is ``IndexingThread.run`` (``indexing/IndexingThread
+.java:48-77``): crawl into concurrent maps, bulk-save, flip ``Site.status``
+INDEXING→INDEXED/FAILED with ``status_time``/``last_error``
+(``model/Site.java:21-27``). Here each stage writes one table; a
+``build_state`` table records per-stage/per-partition status, row counts,
+checksums and timings, and a rerun resumes by skipping stages whose outputs
+are committed (strictly stronger than the reference, which restarts a site
+from scratch on interrupt — ``IndexingServiceImpl.java:52-65``).
+
+Shuffle budget at scale (SURVEY §3.2): one range shuffle for doc-ids, one
+hash shuffle for tf aggregation, one hash shuffle for (term, shard) block
+encoding; term/per-site stats reuse the tf shuffle's output. `text` is never
+carried past the lemmatize stage (late materialization, §4.1).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import EngineConfig
+from searchengine_spark.operators.doc_ids import assign_doc_ids
+from searchengine_spark.operators.postings import (
+    encode_posting_blocks,
+    flat_postings,
+    lemmatize_transcripts,
+    term_stats,
+)
+from searchengine_spark.sources.catalog import TableCatalog
+
+BUILD_STATE_SCHEMA = (
+    "stage string, partition_id long, status string, rows long, checksum string, "
+    "started_ts double, finished_ts double, error string, run_id string"
+)
+METRICS_SCHEMA = "run_id string, stage string, key string, value double, ts double"
+
+
+@dataclass
+class BuildResult:
+    catalog: TableCatalog
+    run_id: str
+    n_docs: int
+    avgdl: float
+    metrics: dict[str, float] = field(default_factory=dict)
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+
+def _append_state(cat: TableCatalog, rows: list[tuple]) -> None:
+    df = cat.spark.createDataFrame(rows, BUILD_STATE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(cat.path("build_state"))
+
+
+def _append_metrics(cat: TableCatalog, rows: list[tuple]) -> None:
+    df = cat.spark.createDataFrame(rows, METRICS_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(cat.path("metrics"))
+
+
+def _stage_done(cat: TableCatalog, stage: str, out_table: str) -> bool:
+    if not cat.exists(out_table):
+        return False
+    try:
+        done = (
+            cat.read("build_state")
+            .filter(
+                (F.col("stage") == stage)
+                & (F.col("status") == "DONE")
+                & (F.col("partition_id") == -1)
+            )
+            .count()
+        )
+        return done > 0
+    except Exception:
+        return False
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> BuildResult:
+    """Build (or resume building) the full index under ``warehouse``.
+
+    Stages (each checkpointed as a table):
+      1. ``documents`` — eligibility filter + lemmatize + dense doc-ids;
+         also writes ``postings_flat`` (the uncompressed posting rows, the
+         direct ``search_index`` analog and the naive query path's input).
+      2. ``terms`` (per-site df/cf/idf) + ``terms_global``.
+      3. ``postings`` — delta+varint blocks incl. co-sharded doc_len blocks.
+    """
+    cfg = cfg or EngineConfig()
+    cat = TableCatalog(spark, warehouse)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    res = BuildResult(catalog=cat, run_id=run_id, n_docs=0, avgdl=0.0)
+
+    def run_stage(stage: str, out_tables: list[str], fn) -> None:
+        if resume and all(_stage_done(cat, stage, t) for t in out_tables):
+            res.stages_skipped.append(stage)
+            return
+        t0 = time.time()
+        _append_state(cat, [(stage, -1, "RUNNING", 0, "", t0, 0.0, "", run_id)])
+        try:
+            part_rows = fn()  # list[(partition_id, rows, checksum)]
+        except Exception as e:  # FAILED analog: Site.last_error (Site.java:25)
+            _append_state(
+                cat, [(stage, -1, "FAILED", 0, "", t0, time.time(), str(e)[:500], run_id)]
+            )
+            raise
+        t1 = time.time()
+        total = sum(r for _, r, _ in part_rows)
+        states = [
+            (stage, int(pid), "DONE", int(rows), str(ck), t0, t1, "", run_id)
+            for pid, rows, ck in part_rows
+        ]
+        states.append((stage, -1, "DONE", total, "", t0, t1, "", run_id))
+        _append_state(cat, states)
+        _append_metrics(
+            cat,
+            [
+                (run_id, stage, "seconds", t1 - t0, t1),
+                (run_id, stage, "rows", float(total), t1),
+                (run_id, stage, "rows_per_sec", total / max(t1 - t0, 1e-9), t1),
+            ],
+        )
+        res.metrics[f"{stage}.seconds"] = t1 - t0
+        res.metrics[f"{stage}.rows"] = total
+        res.stages_run.append(stage)
+
+    # ---- stage 1: documents + flat postings --------------------------------
+    def stage_documents():
+        lem = lemmatize_transcripts(transcripts)
+        docs = assign_doc_ids(lem, parallelism=cfg.parallelism)
+        flat = flat_postings(docs)
+        cat.write(
+            docs.select("doc_id", "conv_id", "turn_idx", "site", "doc_len"),
+            "documents",
+            sort_by=["doc_id"],
+        )
+        cat.write(
+            flat.repartition(cfg.parallelism, "term"),
+            "postings_flat",
+            sort_by=["term", "doc_id"],
+        )
+        docs.unpersist()
+        d = cat.read("documents")
+        lineage = (
+            d.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.crc32(F.concat_ws("|", "conv_id", "turn_idx"))).alias("ck"),
+            )
+            .collect()
+        )
+        return [(r["pid"], r["rows"], r["ck"]) for r in lineage]
+
+    run_stage("documents", ["documents", "postings_flat"], stage_documents)
+
+    documents = cat.read("documents")
+    row = documents.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    res.n_docs, res.avgdl = int(row["n"]), float(row["a"] or 0.0)
+
+    # ---- stage 2: term dictionaries ----------------------------------------
+    def stage_terms():
+        flat = cat.read("postings_flat")
+        per_site, global_stats = term_stats(flat, res.n_docs)
+        cat.write(per_site, "terms", sort_by=["term"])
+        cat.write(global_stats, "terms_global", sort_by=["term"])
+        n_terms = cat.read("terms_global").count()
+        return [(0, n_terms, "")]
+
+    run_stage("terms", ["terms", "terms_global"], stage_terms)
+
+    # ---- stage 3: compressed posting blocks --------------------------------
+    def stage_postings():
+        from searchengine_spark.operators.postings import site_id_map
+
+        flat = cat.read("postings_flat")
+        sids = site_id_map(documents)
+        cat.write(
+            spark.createDataFrame(sorted(sids.items()), "site string, sid long")
+            .coalesce(1),
+            "sites",
+        )
+        blocks = encode_posting_blocks(
+            flat, res.n_docs, res.avgdl, cat.read("terms_global"), cfg,
+            documents=documents, site_ids=sids,
+        )
+        cat.write(blocks, "postings", sort_by=["term", "shard"])
+        # freeze the shard geometry: incremental updates and the searcher
+        # must use the build-time shard size, not one re-derived from a
+        # drifting n_docs (doc-range shards are physical layout)
+        meta = spark.createDataFrame(
+            [
+                ("shard_size", float(cfg.shard_size(res.n_docs))),
+                ("block_size", float(cfg.block_size)),
+                ("built_n_docs", float(res.n_docs)),
+            ],
+            "key string, value double",
+        )
+        cat.write(meta.coalesce(1), "index_meta")
+        written = cat.read("postings")
+        lineage = (
+            written.groupBy("shard")
+            .agg(F.sum("count").alias("rows"), F.count("*").alias("blocks"))
+            .collect()
+        )
+        # skew metric: max/mean postings per doc-range shard (SURVEY §4.3.5)
+        sizes = [r["rows"] for r in lineage]
+        if sizes:
+            skew = max(sizes) / (sum(sizes) / len(sizes))
+            _append_metrics(
+                cat, [(run_id, "postings", "partition_skew", float(skew), time.time())]
+            )
+            res.metrics["postings.partition_skew"] = skew
+        return [(r["shard"], r["rows"], "") for r in lineage]
+
+    run_stage("postings", ["postings", "index_meta", "sites"], stage_postings)
+
+    # ---- headline throughput metrics ---------------------------------------
+    total_secs = sum(
+        v for k, v in res.metrics.items() if k.endswith(".seconds")
+    )
+    if total_secs > 0 and res.n_docs:
+        res.metrics["turns_per_sec"] = res.n_docs / total_secs
+        n_post = res.metrics.get("postings.rows", 0.0)
+        res.metrics["postings_per_sec"] = n_post / total_secs
+        _append_metrics(
+            cat,
+            [
+                (run_id, "build", "turns_per_sec", res.metrics["turns_per_sec"], time.time()),
+                (run_id, "build", "postings_per_sec", res.metrics["postings_per_sec"], time.time()),
+            ],
+        )
+    return res

@@ -79,6 +79,23 @@ class TableCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
 
+    def replace(self, df: DataFrame, name: str, sort_by: list[str] | None = None) -> None:
+        """Overwrite a table whose current contents feed ``df`` (read-modify-
+        write): materialize to a temp dir first, then swap. With Iceberg this
+        is a plain ``createOrReplace`` (snapshot isolation makes it safe)."""
+        if self.iceberg_catalog:
+            self.write(df, name, mode="overwrite", sort_by=sort_by)
+            return
+        import shutil
+
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        tmp = self.path(f"{name}__tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(name)
+        shutil.rmtree(final, ignore_errors=True)
+        shutil.move(tmp, final)
+
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
