@@ -104,9 +104,10 @@ RU_DICT: dict[str, str] = {
 
 
 def strip_html(text: str) -> str:
-    """T1: tag-strip only when the text looks like HTML
-    (``LemmaSearcherImpl.java:31-34,103-105``)."""
-    if "<html" in text or _HTML_TAG.search(text) is not None:
+    """T1: tag-strip only when the content contains ``<html`` — the
+    reference's exact trigger (``LemmaSearcherImpl.java:31-34,103-105``), so
+    stray ``<``/``>`` in plain transcript text is never treated as markup."""
+    if "<html" in text:
         return _HTML_TAG.sub(" ", text)
     return text
 

@@ -1,0 +1,67 @@
+"""Shared fixtures: one SparkSession, one built tiny index, one oracle.
+
+Session-scoped so the whole suite pays Spark startup and the index build
+once. Uses local[8] with shuffle partitions = 8 (SURVEY §5: local Spark,
+`python -m pytest -x -q`).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.oracle.oracle import OracleEngine
+from searchengine_spark.session import get_spark
+from searchengine_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_spark_df,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tiny_pdf():
+    return generate_transcripts("tiny")
+
+
+@pytest.fixture(scope="session")
+def oracle(tiny_pdf):
+    return OracleEngine().build(tiny_pdf)
+
+
+@pytest.fixture(scope="session")
+def engine(spark, tiny_pdf):
+    """SearchEngine with a fully built index over the tiny fixture."""
+    wh = tempfile.mkdtemp(prefix="se_wh_")
+    eng = SearchEngine(spark, wh)
+    eng.build(transcripts_spark_df(spark, tiny_pdf))
+    yield eng
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+#: the fixed reference query set (FIXTURES.md §2 categories): single rare
+#: term; single high-DF term; multi-term AND mixed selectivity; absent term;
+#: inflected forms; duplicate terms; stop-word-only; Russian; mixed-alphabet;
+#: ё-normalization.
+REFERENCE_QUERIES = [
+    "hotalpha",                       # high-df single term (skew path)
+    "hotbeta hotgamma",               # two high-df terms
+    "поиск",                          # Russian single term
+    "запросом страницы",              # Russian inflected forms
+    "data the",                       # term + stopword (stopword dropped)
+    "hotalpha hotalpha hotalpha",     # duplicate terms collapse
+    "zzzqqqxxx",                      # absent term → empty
+    "hotalpha zzzqqqxxx",             # AND with absent term → empty (reference)
+    "logлог",                         # mixed-alphabet → two lemmas
+    "ёж",                             # ё→е normalization
+    "hotdelta поиск",                 # cross-language AND
+    "walking walked walks",           # inflections of one stem
+]

@@ -1,0 +1,131 @@
+"""Checkpoint/resume + incremental upsert tests (SURVEY §5.4, §2.4 M1/M3)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.oracle.oracle import OracleEngine
+from searchengine_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_spark_df,
+)
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    pdf = generate_transcripts("tiny", seed=7)  # independent corpus
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_corpus):
+    wh = tempfile.mkdtemp(prefix="se_resume_")
+    eng = SearchEngine(spark, wh)
+    res = eng.build(transcripts_spark_df(spark, small_corpus))
+    yield eng, res, wh
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_rerun_skips_committed_stages(spark, small_corpus, built):
+    eng, first, wh = built
+    assert first.stages_run, "first build must run stages"
+    res2 = eng.build(transcripts_spark_df(spark, small_corpus))
+    assert res2.stages_run == []
+    assert set(res2.stages_skipped) == {"documents", "terms", "postings"}
+
+
+def test_resume_after_partial_failure(spark, small_corpus, built):
+    """Kill-and-resume: drop the postings stage output; a resumed build
+    reruns only that stage and reproduces identical blocks
+    (strictly stronger than the reference's restart-from-scratch,
+    IndexingServiceImpl.java:52-65)."""
+    eng, _, wh = built
+    cat = eng.catalog
+    before = (
+        cat.read("postings")
+        .orderBy("term", "shard", "block_id")
+        .select("term", "shard", "block_id", "min_doc", "max_doc", "count")
+        .toPandas()
+    )
+    cat.drop("postings")
+    res = eng.build(transcripts_spark_df(spark, small_corpus))
+    assert res.stages_run == ["postings"]
+    assert set(res.stages_skipped) == {"documents", "terms"}
+    after = (
+        cat.read("postings")
+        .orderBy("term", "shard", "block_id")
+        .select("term", "shard", "block_id", "min_doc", "max_doc", "count")
+        .toPandas()
+    )
+    assert before.equals(after)
+
+
+def test_build_state_lineage(built):
+    eng, res, _ = built
+    st = eng.catalog.read("build_state")
+    done = st.filter(F.col("status") == "DONE")
+    stages = {r["stage"] for r in done.select("stage").distinct().collect()}
+    assert {"documents", "terms", "postings"} <= stages
+    # per-partition lineage rows exist with row counts
+    parts = done.filter(
+        (F.col("stage") == "documents") & (F.col("partition_id") >= 0)
+    )
+    assert parts.count() > 0
+    total = done.filter(
+        (F.col("stage") == "documents") & (F.col("partition_id") == -1)
+    ).collect()[0]["rows"]
+    assert total == res.n_docs
+
+
+def test_metrics_recorded(built):
+    eng, res, _ = built
+    m = eng.catalog.read("metrics").toPandas()
+    keys = set(zip(m["stage"], m["key"]))
+    assert ("build", "turns_per_sec") in keys
+    assert ("build", "postings_per_sec") in keys
+    assert ("postings", "partition_skew") in keys
+    assert res.metrics["turns_per_sec"] > 0
+
+
+def test_incremental_reindex_matches_full_rebuild(spark, small_corpus, built):
+    """M1: upsert one turn, then the modified engine must agree with the
+    oracle built on the modified corpus (new text searchable, old not)."""
+    eng, _, _ = built
+    pdf = small_corpus.copy()
+    # pick an existing eligible turn and rewrite it with a unique marker
+    mask = pdf["text"].notna() & (pdf["text"] != "")
+    row = pdf[mask].iloc[0]
+    new_text = "uniquemarkerwordxyz spark data " + str(row["text"])
+    pdf.loc[row.name, "text"] = new_text
+
+    eng.reindex_turn(str(row["conv_id"]), int(row["turn_idx"]), new_text)
+    oracle2 = OracleEngine().build(pdf)
+
+    for q, mode in [
+        ("uniquemarkerwordxyz", "reference"),
+        ("uniquemarkerwordxyz", "bm25"),
+        ("spark data", "bm25"),
+    ]:
+        page, count = eng.search(q, mode=mode)
+        opage, ocount = oracle2.search(q, mode=mode)
+        assert count == ocount, (q, mode)
+        assert list(page["doc_id"]) == list(opage["doc_id"]), (q, mode)
+        np.testing.assert_allclose(page["score"], opage["score"], rtol=1e-6)
+
+
+def test_incremental_new_turn_append(spark, small_corpus, built):
+    """Appending a brand-new (conv_id, turn_idx) gets a fresh doc_id and is
+    immediately searchable."""
+    eng, _, _ = built
+    n_before = eng.catalog.read("documents").count()
+    doc_id = eng.reindex_turn("conv00-999999", 0, "brandnewturnword appears here")
+    assert doc_id >= n_before
+    page, count = eng.search("brandnewturnword")
+    assert count == 1
+    assert list(page["conv_id"]) == ["conv00-999999"]
