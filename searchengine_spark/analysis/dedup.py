@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these run over 10^12 docs):
+
+- exact: one hash-shuffle on md5(text); canonical doc via min-over-group.
+- MinHash: signatures are per-(doc, term) arithmetic over the portable H32
+  (JVM expressions, map-side) + one groupBy(doc) with 16 min() aggregates —
+  partial aggregation makes the shuffle carry 16 longs per doc, independent
+  of doc length. LSH banding then shuffles (band, band_key) — candidate
+  pairs only ever materialize within a bucket, never the n² cross join.
+- SimHash: same shape — 16 signed sums per doc, bits from H32.
+- n-gram Jaccard: the exact-verify step; restricted to candidate pairs from
+  an inverted shingle index (join on shingle), never all-pairs. High-df
+  shingles (shared by > max_df docs) are dropped before the pair join —
+  the same skewed-key discipline as the posting build (SURVEY §4.3.3).
+
+All hashes come from ``oracle.sqlgen`` so the DuckDB oracle evaluates
+byte-identical SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.analysis.textstats import word_ngrams, words
+from searchengine_spark.oracle.sqlgen import minhash_sql, simhash_bit_sql
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, canonical_doc, is_dup): canonical = min doc_id of
+    the identical-text group; eligible docs only."""
+    hashed = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", F.md5("text").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id",
+        "text_hash",
+        F.min("doc_id").over(w).alias("canonical_doc"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+    )
+
+
+def doc_terms(documents: DataFrame) -> DataFrame:
+    """(doc_id, word) distinct — the unigram set used by MinHash/SimHash."""
+    return words(documents).distinct()
+
+
+def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """(doc_id, s0..s{k-1}): k-permutation MinHash over the doc's distinct
+    words. Map-side partial min → shuffle carries k longs per doc."""
+    t = doc_terms(documents)
+    hashed = t.select(
+        "doc_id",
+        *[F.expr(minhash_sql("word", i)).alias(f"h{i}") for i in range(k)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs (a, b), a < b: docs agreeing on ALL rows of
+    at least one band. The n² blowup is avoided by joining on the band key;
+    the dedup of pairs found by several bands is one distinct()."""
+    rows = k // bands
+    sigs = minhash_signatures(documents, k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sigs.select(
+                F.col("doc_id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign aggregation of each word-hash bit.
+    bit_i(doc) = 1 iff Σ_words tf·(2·bit_i(H32(word))−1) > 0."""
+    w = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    contrib = w.select(
+        "doc_id",
+        *[
+            (
+                F.col("tf")
+                * (F.expr(simhash_bit_sql("word", i)) * 2 - 1)
+            ).alias(f"c{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(bits)]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"c{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """(a, b, jaccard): word-n-gram Jaccard similarity ≥ threshold, via an
+    inverted shingle index (pairs only materialize for docs sharing a
+    shingle). ``max_shingle_df`` drops near-universal shingles before the
+    pair join — the skewed-key guard; exact Jaccard is unaffected for pairs
+    that share at least one surviving shingle (verification then uses the
+    full shingle sets)."""
+    grams = word_ngrams(documents, n)  # distinct (doc_id, ngram)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    idx = grams
+    if max_shingle_df is not None:
+        rare = (
+            grams.groupBy("ngram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("ngram")
+        )
+        idx = grams.join(rare, "ngram")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ngram") == F.col("b.ngram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter_rare"))
+    )
+    # exact intersection over the FULL shingle sets for surviving pairs
+    full = grams
+    exact = (
+        inter.join(full.alias("fa"), (F.col("a") == F.col("fa.doc_id")))
+        .join(
+            full.alias("fb"),
+            (F.col("b") == F.col("fb.doc_id"))
+            & (F.col("fa.ngram") == F.col("fb.ngram")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        exact.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a",
+            "b",
+            # raw ratio of exact ints — bit-identical across engines (IEEE
+            # division), so NO rounding; rounding rationals risks half-rule
+            # mismatches between engines
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

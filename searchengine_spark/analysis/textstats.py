@@ -1,0 +1,138 @@
+"""Text analysis operators: tokens, language-ID, quality, fingerprints.
+
+These run corpus-wide at 10^12-doc scale, so everything is built-in
+`pyspark.sql.functions` / generated SQL expressions — JVM-side, inside
+whole-stage codegen, no Python in the loop. The word tokenizer here is the
+*analysis* tokenizer (lowercase, split on non-letters, no stop-filter/
+lemmatization) — independent of the search engine's lemmatizer (T2-T5),
+which stays in functions/lemmatize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.oracle.sqlgen import h32_sql
+
+#: split regex shared with the DuckDB oracles (letters only, incl. Cyrillic)
+WORD_SPLIT = "[^A-Za-zА-ЯЁа-яё]+"
+
+#: tiny English function-word list for the language-ID heuristic
+EN_MARKERS = ("the", "a", "an", "of", "and", "in", "on", "is", "to", "it")
+
+LANG_EN_THRESHOLD = 0.05  # ≥5% marker tokens → 'en'
+
+
+def words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, word) — one row per token occurrence; empty/null texts drop
+    out (same eligibility rule as the index build, T7)."""
+    return (
+        documents.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(text_col), WORD_SPLIT)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens, letter-run tokens, distinct
+    letter-run tokens, char count. One aggregation, no shuffle beyond it."""
+    w = words(documents)
+    alpha = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return base.join(alpha, "doc_id", "left").fillna(
+        0, subset=["n_tokens", "n_distinct"]
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: share of English function words among
+    tokens; ≥ threshold → 'en', else 'und'. (The real corpus would add more
+    languages' marker sets — same plan shape, one agg.)"""
+    w = words(documents)
+    agg = w.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("word").isin(*EN_MARKERS).cast("long")).alias("n_en"),
+    )
+    # raw int ratio — bit-identical across engines, no rounding needed
+    return agg.select(
+        "doc_id",
+        (F.col("n_en") / F.col("n")).alias("en_ratio"),
+        F.when(F.col("n_en") / F.col("n") >= LANG_EN_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic doc-quality score in [0,1]: length saturation × lexical
+    diversity (distinct/total tokens). Rounded for cross-engine comparison."""
+    t = token_stats(documents)
+    # ratios of exact ints: emit raw doubles (bit-identical across engines)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "uniq_ratio"
+        ),
+        (
+            F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+            * (F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)))
+        ).alias("quality"),
+    )
+
+
+def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, ngram) — distinct word n-grams (shingles) per doc.
+
+    Built from the in-row token array (split + filter), NOT via
+    explode + collect_list: collect_list after a shuffle does not preserve
+    token order, and staying in-row also avoids a whole shuffle."""
+    toks = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), WORD_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    )
+    # slide a window of n over the array: transform over 0..len-n
+    idxs = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)))
+            ).alias("ngram"),
+        )
+        .filter(F.col("ngram") != "")
+        .distinct()
+    )
+
+
+def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Winnowing-style doc fingerprint: min portable-H32 over the doc's word
+    n-grams (falls back to H32 of the whole text for docs shorter than n
+    words). One agg; fingerprints are join keys for fast near-dup grouping."""
+    grams = word_ngrams(documents, n)
+    h = grams.select("doc_id", F.expr(h32_sql("ngram")).alias("h"))
+    fp = h.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+    short = (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .join(fp, "doc_id", "left_anti")
+        .select("doc_id", F.expr(h32_sql("lower(text)")).alias("fingerprint"))
+    )
+    return fp.unionByName(short)
