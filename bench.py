@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the engine pipeline (index build over the documents corpus,
+then reference/BM25 top-k through the compressed block path) + the heavier
+analysis operators. Query latencies are medians of ``QUERY_REPS`` warm runs;
+p95 of the per-run samples is reported under extras.
+
+Scaling-efficiency evidence (BASELINE.md): run `python bench_scaling.py`,
+which executes the same build at local[8] vs local[32] on the same input
+and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    import __spark_entry__ as entrymod
+    from searchengine_spark.analysis import ann, dedup, textstats
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 1) -> None:
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        if reps > 1:
+            qs = sorted(samples)
+            extras[f"{name}_p95"] = round(qs[min(len(qs) - 1, int(0.95 * len(qs)))], 4)
+
+    # ---- index build (cold): documents corpus → compressed block index ----
+    t0 = time.time()
+    eng = entrymod._engine(spark, sf_dir)
+    build_s = time.time() - t0
+    timings["build_index"] = round(build_s, 4)
+    n_docs = eng.searcher.n_docs
+    extras["build_turns_per_sec"] = round(n_docs / max(build_s, 1e-9), 2)
+
+    # ---- query serving through the block path -----------------------------
+    REPS = 5
+    timed(
+        "search_ref",
+        lambda: eng.search(" ".join(entrymod.REF_QUERY_TERMS), mode="reference"),
+        reps=REPS,
+    )
+    timed(
+        "search_bm25",
+        lambda: eng.search(" ".join(entrymod.BM25_QUERY_TERMS), mode="bm25"),
+        reps=REPS,
+    )
+    timed(
+        "search_bm25_pruned",
+        lambda: eng.search(
+            " ".join(entrymod.BM25_QUERY_TERMS), mode="bm25", exact_count=False
+        ),
+        reps=REPS,
+    )
+
+    docs = entrymod._documents(spark, sf_dir)
+    emb = entrymod._embeddings(spark, sf_dir)
+
+    # ---- analysis operators (count() forces full execution) ---------------
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed("minhash_sig", lambda: dedup.minhash_signatures(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
+    timed("fingerprint", lambda: textstats.fingerprint(docs).count())
+    timed("token_stats", lambda: textstats.token_stats(docs).count())
+    timed("lang_id", lambda: textstats.lang_id(docs).count())
+    timed("ann_topk", lambda: ann.cosine_topk(emb, entrymod.ANN_PROBES).count())
+    timed(
+        "embed_neardup",
+        lambda: ann.lsh_bucket_pairs(emb, threshold=entrymod.EMBED_TAU).count(),
+    )
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline pipeline seconds (index build + block-path search + analysis ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,11 +76,12 @@ class SearchEngine:
         limit: int | None = None,
         mode: str = "reference",
         with_snippets: bool = False,
+        exact_count: bool = True,
     ):
         """Returns (page: pandas DataFrame, total candidate count)."""
         return self.searcher.search(
             query, site=site, offset=offset, limit=limit, mode=mode,
-            with_snippets=with_snippets,
+            with_snippets=with_snippets, exact_count=exact_count,
         )
 
     def search_response(self, query: str, **kw) -> dict:
