@@ -1,0 +1,152 @@
+"""Scaling-efficiency benchmark (BASELINE.md / north_rule evidence).
+
+The north rule requires ≥0.8 throughput scaling efficiency between N and 4N
+executors. No real cluster exists in this sandbox, so (per BASELINE.md) the
+same spark-submit job runs at two parallelism levels — local[8] and
+local[32] — on the same ~1M-turn synthetic transcript fixture, and
+efficiency = (throughput_32 / throughput_8) / 4.
+
+Steps:
+1. generate (once, seeded) the 'bench' fixture → parquet cache;
+2. package searchengine_spark as a zip;
+3. spark-submit --py-files se.zip scripts/bench_build.py at 8 and 32 cores
+   (fresh warehouse each, cold build);
+4. write BENCH/BASELINE.md with throughput, efficiency, query p50/p95.
+
+Usage: python bench_scaling.py [--fixture bench|small]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get("SE_BENCH_CACHE", "/tmp/se_bench_cache")
+
+
+def ensure_fixture(name: str) -> str:
+    path = os.path.join(CACHE, f"transcripts_{name}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        print(f"generating fixture {name!r} (seeded, one-time)...", flush=True)
+        from searchengine_spark.sources.transcripts import generate_transcripts
+
+        t0 = time.time()
+        pdf = generate_transcripts(name)
+        pdf.to_parquet(path + ".tmp", index=False)
+        os.rename(path + ".tmp", path)
+        print(f"  {len(pdf)} turns in {time.time() - t0:.0f}s → {path}", flush=True)
+    return path
+
+
+def make_zip() -> str:
+    zpath = os.path.join(tempfile.mkdtemp(prefix="se_zip_"), "se.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "searchengine_spark")
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_child(cores: int, fixture_path: str, zip_path: str, queries: bool) -> dict:
+    wh = tempfile.mkdtemp(prefix=f"se_bench_wh{cores}_")
+    out_json = os.path.join(wh, "result.json")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "bench_build.py"),
+        str(cores), fixture_path, wh, out_json,
+    ] + (["--queries"] if queries else [])
+    print(f"→ local[{cores}]: {' '.join(cmd[-6:])}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_MASTER": f"local[{cores}]"},
+    )
+    if proc.returncode != 0 or not os.path.exists(out_json):
+        sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-5000:])
+        raise RuntimeError(f"child at {cores} cores failed")
+    with open(out_json) as f:
+        res = json.load(f)
+    res["wall_seconds"] = round(time.time() - t0, 1)
+    shutil.rmtree(wh, ignore_errors=True)
+    return res
+
+
+def main() -> None:
+    fixture = "bench"
+    if "--fixture" in sys.argv:
+        fixture = sys.argv[sys.argv.index("--fixture") + 1]
+    fixture_path = ensure_fixture(fixture)
+    zip_path = make_zip()
+
+    r8 = run_child(8, fixture_path, zip_path, queries=False)
+    r32 = run_child(32, fixture_path, zip_path, queries=True)
+
+    tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lat = r32.get("query_latency", {})
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+Fixture: `{fixture}` ({r8['n_docs']} indexed turns, seeded synthetic
+transcript corpus per FIXTURES.md). Same input, same job
+(`spark-submit --py-files se.zip scripts/bench_build.py`), two parallelism
+levels — the sandbox substitution for N vs 4N executors (BASELINE.md).
+
+## Index-build throughput & scaling
+
+| cores | build s | turns/sec | postings/sec | partition skew (max/mean) |
+|---|---|---|---|---|
+| 8 (N) | {r8['build_seconds']} | {tp8} | {r8['postings_per_sec']} | {r8['partition_skew']} |
+| 32 (4N) | {r32['build_seconds']} | {tp32} | {r32['postings_per_sec']} | {r32['partition_skew']} |
+
+**Scaling efficiency (N→4N) = (tp32/tp8)/4 = {eff:.3f}** (target ≥ 0.8)
+
+Stage breakdown (seconds): 8 cores {json.dumps(r8['stage_seconds'])}; 32
+cores {json.dumps(r32['stage_seconds'])}.
+
+## Query latency (32 cores, warm index, reference query set, k=20)
+
+| mode | p50 s | p95 s |
+|---|---|---|
+| reference (conjunctive Σtf) | {lat.get('reference', {}).get('p50_s', 'n/a')} | {lat.get('reference', {}).get('p95_s', 'n/a')} |
+| bm25 (block-max WAND) | {lat.get('bm25', {}).get('p50_s', 'n/a')} | {lat.get('bm25', {}).get('p95_s', 'n/a')} |
+
+Raw child outputs:
+
+```json
+{json.dumps({'cores8': r8, 'cores32': r32}, indent=2)}
+```
+"""
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "efficiency": round(eff, 3),
+        "turns_per_sec_8": tp8,
+        "turns_per_sec_32": tp32,
+        "report": out_md,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Child benchmark job: build the full index over a transcript fixture and
+time it. Launched by bench_scaling.py via spark-submit at two parallelism
+levels (the sandbox stand-in for N vs 4N executors — BASELINE.md).
+
+Usage: spark-submit --py-files se.zip scripts/bench_build.py \
+           <cores> <fixture_parquet> <warehouse> <out_json> [--queries]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    fixture_parquet = sys.argv[2]
+    warehouse = sys.argv[3]
+    out_json = sys.argv[4]
+    run_queries = "--queries" in sys.argv[5:]
+
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    spark = get_spark(
+        app_name=f"bench_build_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    transcripts = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(fixture_parquet)
+    cfg = EngineConfig(parallelism=cores)
+    eng = SearchEngine(spark, warehouse, cfg)
+
+    t0 = time.time()
+    res = eng.build(transcripts, resume=False)
+    build_s = time.time() - t0
+
+    out = {
+        "cores": cores,
+        "n_docs": res.n_docs,
+        "build_seconds": round(build_s, 2),
+        "turns_per_sec": round(res.n_docs / build_s, 2),
+        "postings_per_sec": round(
+            res.metrics.get("postings.rows", 0) / build_s, 2
+        ),
+        "partition_skew": round(res.metrics.get("postings.partition_skew", 0), 3),
+        "stage_seconds": {
+            k.split(".")[0]: round(v, 2)
+            for k, v in res.metrics.items()
+            if k.endswith(".seconds")
+        },
+    }
+
+    if run_queries:
+        from searchengine_spark.queryset import REFERENCE_QUERIES
+        from searchengine_spark.operators.search import EmptySearchQueryError
+
+        lat: dict[str, dict[str, float]] = {}
+        for mode in ["reference", "bm25"]:
+            samples = []
+            per_q = {}
+            for q in REFERENCE_QUERIES:
+                try:
+                    t0 = time.time()
+                    eng.search(q, mode=mode)
+                    dt = time.time() - t0
+                except EmptySearchQueryError:
+                    continue
+                samples.append(dt)
+                per_q[q] = round(dt, 4)
+            samples.sort()
+            lat[mode] = {
+                "p50_s": round(statistics.median(samples), 4),
+                "p95_s": round(samples[min(len(samples) - 1, int(0.95 * len(samples)))], 4),
+                "queries": per_q,
+            }
+        out["query_latency"] = lat
+
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    print("BENCH_CHILD_DONE", json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

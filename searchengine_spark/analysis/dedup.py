@@ -22,11 +22,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from searchengine_spark.analysis.textstats import word_ngrams, words
-from searchengine_spark.oracle.sqlgen import minhash_sql, simhash_bit_sql
+from searchengine_spark.analysis.textstats import h32_col, word_ngrams, words
+from searchengine_spark.oracle.sqlgen import MINHASH_P, _MINHASH_AB
 
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def _minhash_col(h, k):
+    """h_k = (A_k·(H32 mod P) + B_k) mod P as Column arithmetic over a single
+    shared H32 column — same formula the oracle SQL evaluates."""
+    a, b = _MINHASH_AB[k]
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -52,10 +59,10 @@ def doc_terms(documents: DataFrame) -> DataFrame:
 def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, s0..s{k-1}): k-permutation MinHash over the doc's distinct
     words. Map-side partial min → shuffle carries k longs per doc."""
-    t = doc_terms(documents)
+    t = doc_terms(documents).withColumn("_h32", h32_col(F.col("word")))
     hashed = t.select(
         "doc_id",
-        *[F.expr(minhash_sql("word", i)).alias(f"h{i}") for i in range(k)],
+        *[_minhash_col(F.col("_h32"), i).alias(f"h{i}") for i in range(k)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"s{i}") for i in range(k)]
@@ -100,13 +107,18 @@ def minhash_lsh_pairs(
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign aggregation of each word-hash bit.
     bit_i(doc) = 1 iff Σ_words tf·(2·bit_i(H32(word))−1) > 0."""
-    w = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    w = (
+        words(documents)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("_h32", h32_col(F.col("word")))
+    )
+    # bit_i from the shared H32 column: (h >> i) & 1 == floor(h/2^i) % 2
     contrib = w.select(
         "doc_id",
         *[
             (
-                F.col("tf")
-                * (F.expr(simhash_bit_sql("word", i)) * 2 - 1)
+                F.col("tf") * ((F.shiftright("_h32", i) % 2) * 2 - 1)
             ).alias(f"c{i}")
             for i in range(bits)
         ],

@@ -205,7 +205,26 @@ def lemmas_udf():
 
     @F.pandas_udf("array<string>")
     def _lemmas(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # worker-persistent token→lemmas cache: Zipf-distributed corpora hit
+        # it for ~all occurrences, replacing regex+suffix work with one dict
+        # lookup. Pure function of the token, so caching preserves
+        # determinism; the Iterator form keeps the dict across batches
+        # (the per-worker-state pattern, SURVEY §2.6).
+        cache: dict[str, list[str]] = {}
+
+        def lem_text(text):
+            if not text:
+                return []
+            out: list[str] = []
+            for tok in tokenize(strip_html(text)):
+                r = cache.get(tok)
+                if r is None:
+                    r = lemmatize_token(tok)
+                    cache[tok] = r
+                out.extend(r)
+            return out
+
         for s in batches:
-            yield s.map(lemmatize_text)
+            yield s.map(lem_text)
 
     return _lemmas

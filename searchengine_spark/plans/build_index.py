@@ -139,7 +139,12 @@ def build_index(
 
     # ---- stage 1: documents + flat postings --------------------------------
     def stage_documents():
-        lem = lemmatize_transcripts(transcripts)
+        # drop text/role/tool/ts BEFORE the doc-id range shuffle: the payload
+        # carried through shuffle+persist is (keys, site, doc_len, lemmas)
+        # only — `text` never crosses a shuffle (late materialization, §4.1)
+        lem = lemmatize_transcripts(transcripts).select(
+            "conv_id", "turn_idx", "site", "doc_len", "lemmas"
+        )
         docs = assign_doc_ids(lem, parallelism=cfg.parallelism)
         flat = flat_postings(docs)
         cat.write(

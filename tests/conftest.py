@@ -47,21 +47,4 @@ def engine(spark, tiny_pdf):
     shutil.rmtree(wh, ignore_errors=True)
 
 
-#: the fixed reference query set (FIXTURES.md §2 categories): single rare
-#: term; single high-DF term; multi-term AND mixed selectivity; absent term;
-#: inflected forms; duplicate terms; stop-word-only; Russian; mixed-alphabet;
-#: ё-normalization.
-REFERENCE_QUERIES = [
-    "hotalpha",                       # high-df single term (skew path)
-    "hotbeta hotgamma",               # two high-df terms
-    "поиск",                          # Russian single term
-    "запросом страницы",              # Russian inflected forms
-    "data the",                       # term + stopword (stopword dropped)
-    "hotalpha hotalpha hotalpha",     # duplicate terms collapse
-    "zzzqqqxxx",                      # absent term → empty
-    "hotalpha zzzqqqxxx",             # AND with absent term → empty (reference)
-    "logлог",                         # mixed-alphabet → two lemmas
-    "ёж",                             # ё→е normalization
-    "hotdelta поиск",                 # cross-language AND
-    "walking walked walks",           # inflections of one stem
-]
+from searchengine_spark.queryset import REFERENCE_QUERIES  # noqa: E402,F401 — re-exported for tests
