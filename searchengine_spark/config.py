@@ -61,10 +61,14 @@ class EngineConfig:
     snippet_window: int = 40
 
     def shard_size(self, n_docs: int) -> int:
-        """Resolve docs_per_shard: aim ≈4 shards/core locally, bounded below
-        so tiny corpora stay in one shard and above so a group's pandas frame
-        stays O(100MB) at any df."""
+        """Resolve docs_per_shard: aim ≈4 shards/core, with a floor of 4096
+        docs/shard so shard count (== pandas group count in the block
+        encoder, == query-kernel task count) never explodes on small corpora
+        and, crucially, does not grow with core count on a fixed input —
+        otherwise adding cores adds per-group overhead instead of speed.
+        At 10^12 docs the 4·parallelism target dominates and each shard's
+        posting frame stays O(docs_per_shard × avgdl) rows."""
         if self.docs_per_shard is not None:
             return self.docs_per_shard
         target_shards = max(1, 4 * self.parallelism)
-        return max(256, math.ceil(max(1, n_docs) / target_shards))
+        return max(4096, math.ceil(max(1, n_docs) / target_shards))

@@ -169,34 +169,49 @@ def encode_posting_blocks(
         scored = scored.unionByName(doclen_rows).unionByName(site_rows)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
+        # One group = ONE doc-range shard holding ALL its terms' postings.
+        # Grouping by shard alone (not (term, shard)) keeps the pandas-group
+        # count equal to the shard count — independent of vocabulary size —
+        # while group SIZE stays bounded by docs_per_shard × avg doc len
+        # (doc ranges are uniform; skewed terms are still split across
+        # shards). Grouping by (term, shard) created |vocab|·|shards| tiny
+        # groups whose per-group Arrow overhead dominated the build and got
+        # WORSE with more cores (more shards → more groups).
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         shard = int(pdf["shard"].iloc[0])
+        terms = pdf["term"].to_numpy(object)
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         scores = pdf["score"].to_numpy(np.float64)
+        # term-run boundaries (terms sorted → runs are contiguous)
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(terms)]))
         rows = []
-        for b0 in range(0, len(doc_ids), block_size):
-            d = doc_ids[b0 : b0 + block_size]
-            t = tfs[b0 : b0 + block_size]
-            s = scores[b0 : b0 + block_size]
-            gaps = np.empty_like(d)
-            gaps[0] = d[0]
-            np.subtract(d[1:], d[:-1], out=gaps[1:])
-            rows.append(
-                (
-                    term,
-                    shard,
-                    b0 // block_size,
-                    int(d[0]),
-                    int(d[-1]),
-                    int(len(d)),
-                    int(t.max()),
-                    float(s.max()),
-                    varint_encode(gaps),
-                    varint_encode(t),
+        for s0, s1 in zip(starts, ends):
+            term = terms[s0]
+            for b0 in range(s0, s1, block_size):
+                b1 = min(b0 + block_size, s1)
+                d = doc_ids[b0:b1]
+                t = tfs[b0:b1]
+                s = scores[b0:b1]
+                gaps = np.empty_like(d)
+                gaps[0] = d[0]
+                np.subtract(d[1:], d[:-1], out=gaps[1:])
+                rows.append(
+                    (
+                        term,
+                        shard,
+                        (b0 - s0) // block_size,
+                        int(d[0]),
+                        int(d[-1]),
+                        int(b1 - b0),
+                        int(t.max()),
+                        float(s.max()),
+                        varint_encode(gaps),
+                        varint_encode(t),
+                    )
                 )
-            )
         return pd.DataFrame(
             rows,
             columns=[
@@ -205,4 +220,4 @@ def encode_posting_blocks(
             ],
         )
 
-    return scored.groupBy("term", "shard").applyInPandas(encode, BLOCKS_SCHEMA)
+    return scored.groupBy("shard").applyInPandas(encode, BLOCKS_SCHEMA)

@@ -39,9 +39,15 @@ def oracle(tiny_pdf):
 
 @pytest.fixture(scope="session")
 def engine(spark, tiny_pdf):
-    """SearchEngine with a fully built index over the tiny fixture."""
+    """SearchEngine with a fully built index over the tiny fixture.
+
+    docs_per_shard=256 forces multiple doc-range shards at tiny scale so the
+    skew-split path and multi-shard kernel merging are exercised (the
+    default floor of 4096 would put the whole fixture in one shard)."""
+    from searchengine_spark.config import EngineConfig
+
     wh = tempfile.mkdtemp(prefix="se_wh_")
-    eng = SearchEngine(spark, wh)
+    eng = SearchEngine(spark, wh, EngineConfig(docs_per_shard=256))
     eng.build(transcripts_spark_df(spark, tiny_pdf))
     yield eng
     shutil.rmtree(wh, ignore_errors=True)
