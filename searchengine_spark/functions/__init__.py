@@ -4,6 +4,7 @@ from searchengine_spark.functions.lemmatize import (  # noqa: F401
     lemma_counts,
     query_lemmas,
     lemmas_udf,
+    lemma_counts_udf,
 )
 from searchengine_spark.functions.codec import (  # noqa: F401
     varint_encode,

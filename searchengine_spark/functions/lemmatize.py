@@ -228,3 +228,35 @@ def lemmas_udf():
             yield s.map(lem_text)
 
     return _lemmas
+
+
+def lemma_counts_udf():
+    """Pandas UDF mapping a text column to ``map<string,int>`` lemma→tf.
+
+    Counting tf inside the UDF (per document — no cross-row state) means the
+    index build never shuffles exploded per-occurrence rows: the tf hash-agg
+    stage disappears entirely (T6 done map-side, the strongest form of
+    partial aggregation)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("map<string,int>")
+    def _counts(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+
+        def count_text(text):
+            if not text:
+                return {}
+            counts: dict[str, int] = {}
+            for tok in tokenize(strip_html(text)):
+                r = cache.get(tok)
+                if r is None:
+                    r = lemmatize_token(tok)
+                    cache[tok] = r
+                for lem in r:
+                    counts[lem] = counts.get(lem, 0) + 1
+            return counts
+
+        for s in batches:
+            yield s.map(count_text)
+
+    return _counts

@@ -29,19 +29,35 @@ def assign_doc_ids(
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     parallelism: int = 32,
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
-    """Add a dense 0-based ``doc_id`` ordered by ``key_cols``.
+    """Add a dense 0-based ``id_col`` ordered by ``key_cols``.
 
-    The returned DataFrame is persisted (MEMORY_AND_DISK) because the offset
-    computation already materialized the partitioning; callers writing it to
-    a table should ``unpersist()`` afterwards.
+    Keys MAY repeat across rows (e.g. one row per posting of a document):
+    ids are assigned per distinct key via ``dense_rank`` within each range
+    partition + per-partition distinct-count offsets, so the caller can
+    explode payload BEFORE this shuffle and keep the shuffled rows skinny.
+    (Shuffling or caching ``map``-typed payload was measured ~10× the cost
+    of the shuffle itself — complex-type serialization dominates — so the
+    build pipeline explodes the per-doc tf maps first and sends only flat
+    posting rows through here.)
+
+    The returned DataFrame is persisted (the offsets job already
+    materialized the exchange; later actions would otherwise recompute the
+    whole upstream, since physical plans are not shared across actions).
+    Callers should ``unpersist()`` when done.
     """
-    parts = (
-        df.repartitionByRange(parallelism, *[F.col(c) for c in key_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = {r["_pid"]: r["n"] for r in parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    parts = df.repartitionByRange(
+        parallelism, *[F.col(c) for c in key_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    if persist:
+        parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid")
+        .agg(F.countDistinct(*key_cols).alias("n"))
+        .collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -55,6 +71,6 @@ def assign_doc_ids(
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     return (
         parts.join(offsets_df, "_pid")
-        .withColumn(id_col, F.col("_offset") + F.row_number().over(w) - 1)
+        .withColumn(id_col, F.col("_offset") + F.dense_rank().over(w) - 1)
         .drop("_pid", "_offset")
     )

@@ -3,19 +3,21 @@
 Spark-first re-expression of the reference's indexing dataflow
 (``indexing/PageIndexer.java:89-109`` accumulate tf/df into concurrent maps;
 ``indexing/IndexingThread.java:127-149`` bulk flush). The concurrent-map
-accumulation becomes partial+final hash aggregation (free map-side combine);
-the ``search_index`` posting-row table (``model/Index.java:14-40``) becomes
+accumulation becomes in-UDF tf maps + hash aggregation for df; the
+``search_index`` posting-row table (``model/Index.java:14-40``) becomes
 delta+varint block columns built inside ``applyInPandas`` (SURVEY §4.3.2).
 
 Scale notes (10^12 turns):
-- tf aggregation carries ``site`` and ``doc_len`` inside the groupBy key —
-  both are functionally dependent on ``doc_id``, so they ride the same
-  shuffle for free instead of needing a post-hoc join against ``documents``.
-- block encoding groups by ``(term, shard)`` with shard = doc_id //
-  docs_per_shard: every pandas group is ≤ min(df, docs_per_shard) rows, so a
-  df≈N stopword is split into many contiguous doc ranges (explicit skew
-  handling — no group is ever O(df)); shards are doc-range aligned across
-  terms, which is exactly what the query kernel partitions on.
+- tf is counted INSIDE the lemmatizer UDF (per-doc ``map<term,tf>``), so no
+  per-occurrence row ever crosses a shuffle — the tf agg stage is gone;
+  ``site``/``doc_len`` ride along as functionally-dependent columns.
+- block encoding groups by doc-range ``shard`` (= doc_id // docs_per_shard):
+  group COUNT equals the shard count (vocabulary-independent) and group SIZE
+  is bounded by docs_per_shard × avg doc len, uniform by construction. A
+  df≈N stopword term is automatically split into contiguous, independently
+  sorted+compressed doc ranges (explicit skew handling — no group is ever
+  O(df)); shards are doc-range aligned across terms, which is exactly what
+  the query kernel partitions on.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.functions.codec import varint_encode
-from searchengine_spark.functions.lemmatize import lemmas_udf
+from searchengine_spark.functions.lemmatize import lemma_counts_udf
 
 BLOCKS_SCHEMA = (
     "term string, shard long, block_id int, min_doc long, max_doc long, "
@@ -45,28 +47,36 @@ def site_id_map(documents: DataFrame) -> dict[str, int]:
 
 def lemmatize_transcripts(transcripts: DataFrame) -> DataFrame:
     """Eligibility filter (T7, ``PageIndexer.java:65-67``) + site derivation
-    (SURVEY §1.4) + vectorized lemmatization (T1–T5) + doc_len (BM25 length
-    norm; the reference has none — SURVEY §2.3 scoring note)."""
+    (SURVEY §1.4) + vectorized lemmatization with in-UDF tf counting (T1–T6)
+    + doc_len (BM25 length norm; the reference has none — SURVEY §2.3
+    scoring note). Emitting ``map<term,tf>`` per doc instead of a lemma list
+    means tf aggregation needs NO shuffle downstream."""
     eligible = transcripts.filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     return (
         eligible.withColumn("site", F.split("conv_id", "-").getItem(0))
-        .withColumn("lemmas", lemmas_udf()(F.col("text")))
-        .withColumn("doc_len", F.size("lemmas"))
+        .withColumn("counts", lemma_counts_udf()(F.col("text")))
+        .withColumn(
+            "doc_len",
+            F.aggregate(
+                F.map_values("counts"), F.lit(0), lambda acc, x: acc + x
+            ),
+        )
     )
 
 
-def flat_postings(docs_with_lemmas: DataFrame) -> DataFrame:
+def flat_postings(rows_with_ids: DataFrame) -> DataFrame:
     """Uncompressed postings ``(term, doc_id, site, doc_len, tf)`` — the
     direct analog of one ``search_index`` row (``model/Index.java:14-40``).
-    T6 tf counting (``LemmaSearcherImpl.java:25,73-74``) as a hash agg."""
+    T6 tf counting (``LemmaSearcherImpl.java:25,73-74``) already happened
+    inside the lemmatizer UDF and the maps were exploded pre-shuffle, so
+    this is a pure filter+project; rows are unique on (doc_id, term) by
+    construction. The null-term rows are explode_outer's placeholders for
+    eligible docs with zero lemmas (they live in `documents` only)."""
     return (
-        docs_with_lemmas.select(
-            "doc_id", "site", "doc_len", F.explode("lemmas").alias("term")
-        )
-        .groupBy("doc_id", "site", "doc_len", "term")
-        .agg(F.count("*").alias("tf"))
+        rows_with_ids.filter(F.col("term").isNotNull())
+        .select("doc_id", "site", "doc_len", "term", F.col("tf").cast("long"))
     )
 
 

@@ -11,10 +11,12 @@ checksums and timings, and a rerun resumes by skipping stages whose outputs
 are committed (strictly stronger than the reference, which restarts a site
 from scratch on interrupt — ``IndexingServiceImpl.java:52-65``).
 
-Shuffle budget at scale (SURVEY §3.2): one range shuffle for doc-ids, one
-hash shuffle for tf aggregation, one hash shuffle for (term, shard) block
-encoding; term/per-site stats reuse the tf shuffle's output. `text` is never
-carried past the lemmatize stage (late materialization, §4.1).
+Shuffle budget at scale (SURVEY §3.2): one range shuffle for doc-ids (tf is
+counted inside the lemmatizer UDF — no per-occurrence shuffle exists), one
+hash shuffle laying postings_flat out by term, one hash shuffle for doc-range
+shard block encoding, plus the small term-stats aggregations over the
+term-partitioned flat table. `text` is never carried past the lemmatize
+stage (late materialization, §4.1).
 """
 
 from __future__ import annotations
@@ -104,12 +106,20 @@ def build_index(
     run_id = run_id or uuid.uuid4().hex[:12]
     res = BuildResult(catalog=cat, run_id=run_id, n_docs=0, avgdl=0.0)
 
+    # metrics are buffered in memory and written ONCE at the end of the
+    # build — a metrics row is observability, not a checkpoint, and each
+    # tiny parquet append is a whole Spark job of fixed overhead. The
+    # build_state DONE batch, by contrast, MUST be durable per stage
+    # (resume correctness), so that stays one write per stage; the
+    # RUNNING marker job was dropped for the same overhead reason
+    # (FAILED is still recorded on exception).
+    metric_buf: list[tuple] = []
+
     def run_stage(stage: str, out_tables: list[str], fn) -> None:
         if resume and all(_stage_done(cat, stage, t) for t in out_tables):
             res.stages_skipped.append(stage)
             return
         t0 = time.time()
-        _append_state(cat, [(stage, -1, "RUNNING", 0, "", t0, 0.0, "", run_id)])
         try:
             part_rows = fn()  # list[(partition_id, rows, checksum)]
         except Exception as e:  # FAILED analog: Site.last_error (Site.java:25)
@@ -125,13 +135,12 @@ def build_index(
         ]
         states.append((stage, -1, "DONE", total, "", t0, t1, "", run_id))
         _append_state(cat, states)
-        _append_metrics(
-            cat,
+        metric_buf.extend(
             [
                 (run_id, stage, "seconds", t1 - t0, t1),
                 (run_id, stage, "rows", float(total), t1),
                 (run_id, stage, "rows_per_sec", total / max(t1 - t0, 1e-9), t1),
-            ],
+            ]
         )
         res.metrics[f"{stage}.seconds"] = t1 - t0
         res.metrics[f"{stage}.rows"] = total
@@ -139,25 +148,56 @@ def build_index(
 
     # ---- stage 1: documents + flat postings --------------------------------
     def stage_documents():
-        # drop text/role/tool/ts BEFORE the doc-id range shuffle: the payload
-        # carried through shuffle+persist is (keys, site, doc_len, lemmas)
-        # only — `text` never crosses a shuffle (late materialization, §4.1)
-        lem = lemmatize_transcripts(transcripts).select(
-            "conv_id", "turn_idx", "site", "doc_len", "lemmas"
+        # Under-split inputs (one big parquet file / few row groups) would
+        # run the lemmatizer UDF in 1-2 tasks regardless of cluster size —
+        # rebalance the RAW rows first so the UDF parallelism == cluster
+        # parallelism. Well-partitioned Iceberg inputs skip this (no-op
+        # branch, no shuffle).
+        src = transcripts
+        if src.rdd.getNumPartitions() < cfg.parallelism:
+            src = src.repartition(cfg.parallelism)
+        # Doc-id assignment runs on the KEY COLUMNS ONLY, straight off the
+        # input table (no lemmatizer in that lineage): the range shuffle +
+        # its sampling pass + the persisted cache all carry 2 skinny columns
+        # per turn. The heavyweight side (lemmatize → explode to posting
+        # rows) is computed in ONE pass and picks its doc ids up via an
+        # equi-join that AQE turns into a broadcast at sandbox scale and a
+        # sort-merge join at 10^12 (either way `text`, lemma maps and
+        # posting rows never enter the doc-id shuffle).
+        eligible_keys = src.filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select("conv_id", "turn_idx")
+        ids = assign_doc_ids(eligible_keys, parallelism=cfg.parallelism)
+
+        rows = lemmatize_transcripts(src).select(
+            "conv_id",
+            "turn_idx",
+            "site",
+            "doc_len",
+            F.explode("counts").alias("term", "tf"),
         )
-        docs = assign_doc_ids(lem, parallelism=cfg.parallelism)
-        flat = flat_postings(docs)
+        joined = rows.join(ids, ["conv_id", "turn_idx"])
         cat.write(
-            docs.select("doc_id", "conv_id", "turn_idx", "site", "doc_len"),
-            "documents",
-            sort_by=["doc_id"],
-        )
-        cat.write(
-            flat.repartition(cfg.parallelism, "term"),
+            flat_postings(joined).repartition(cfg.parallelism, "term"),
             "postings_flat",
             sort_by=["term", "doc_id"],
         )
-        docs.unpersist()
+        # documents = every eligible turn (incl. zero-lemma ones, absent
+        # from postings_flat) + its doc_len read back from the written flat
+        # table — avoids a second lemmatizer pass just for doc metadata.
+        doc_len = (
+            cat.read("postings_flat")
+            .groupBy("doc_id")
+            .agg(F.first("doc_len").alias("doc_len"))
+        )
+        docs = (
+            ids.withColumn("site", F.split("conv_id", "-").getItem(0))
+            .join(doc_len, "doc_id", "left")
+            .fillna(0, subset=["doc_len"])
+            .select("doc_id", "conv_id", "turn_idx", "site", "doc_len")
+        )
+        cat.write(docs, "documents", sort_by=["doc_id"])
+        ids.unpersist()
         d = cat.read("documents")
         lineage = (
             d.groupBy(F.spark_partition_id().alias("pid"))
@@ -224,8 +264,8 @@ def build_index(
         sizes = [r["rows"] for r in lineage]
         if sizes:
             skew = max(sizes) / (sum(sizes) / len(sizes))
-            _append_metrics(
-                cat, [(run_id, "postings", "partition_skew", float(skew), time.time())]
+            metric_buf.append(
+                (run_id, "postings", "partition_skew", float(skew), time.time())
             )
             res.metrics["postings.partition_skew"] = skew
         return [(r["shard"], r["rows"], "") for r in lineage]
@@ -240,11 +280,12 @@ def build_index(
         res.metrics["turns_per_sec"] = res.n_docs / total_secs
         n_post = res.metrics.get("postings.rows", 0.0)
         res.metrics["postings_per_sec"] = n_post / total_secs
-        _append_metrics(
-            cat,
+        metric_buf.extend(
             [
                 (run_id, "build", "turns_per_sec", res.metrics["turns_per_sec"], time.time()),
                 (run_id, "build", "postings_per_sec", res.metrics["postings_per_sec"], time.time()),
-            ],
+            ]
         )
+    if metric_buf:
+        _append_metrics(cat, metric_buf)
     return res
