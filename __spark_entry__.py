@@ -13,9 +13,14 @@ the analysis queries run the operators in ``searchengine_spark.analysis``.
 Every hash/lemma rule the two sides share is emitted once by
 ``searchengine_spark.oracle.sqlgen``, so Spark and DuckDB cannot drift.
 
-Float policy: every float output column is rounded (4-6 decimals) on BOTH
-sides, and rankings order by the rounded value with a doc-id tiebreak, so
-accumulation-order differences can't flip a hash or a top-k boundary.
+Float policy: RATIONAL outputs (ratios of exact integers — jaccard,
+relevance, en_ratio, quality) are emitted as raw doubles, because IEEE
+division of identical ints is bit-identical across engines while round()
+half-rules differ (pandas half-even vs DuckDB half-away). IRRATIONAL
+outputs (ln/sqrt-based: idf, BM25 scores, cosines) are rounded to 5-6
+decimals on both sides — libm vs JVM can differ in the last ulp, and an
+irrational value never lands exactly on a rounding boundary. Rankings
+order by the rounded score with a deterministic (source, doc_id) tiebreak.
 """
 
 from __future__ import annotations

@@ -40,7 +40,10 @@ def ensure_fixture(name: str) -> str:
 
         t0 = time.time()
         pdf = generate_transcripts(name)
-        pdf.to_parquet(path + ".tmp", index=False)
+        # many row groups, not one: Spark splits parquet by row group — a
+        # single-row-group file would run every downstream task on one core
+        # no matter the cluster size (real tables have many files anyway)
+        pdf.to_parquet(path + ".tmp", index=False, row_group_size=65536)
         os.rename(path + ".tmp", path)
         print(f"  {len(pdf)} turns in {time.time() - t0:.0f}s → {path}", flush=True)
     return path
@@ -66,10 +69,15 @@ def run_child(cores: int, fixture_path: str, zip_path: str, queries: bool) -> di
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
+    # memory scales with cores (2 GiB/core): a real 4N-executor cluster
+    # brings 4× the aggregate memory, so the single-JVM stand-in must too —
+    # otherwise per-task memory shrinks with "cluster size" and the
+    # comparison measures GC pressure, not scaling
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", f"{2 * cores}g")
     cmd = [
         spark_submit,
         "--master", f"local[{cores}]",
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        "--driver-memory", mem,
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "bench_build.py"),
         str(cores), fixture_path, wh, out_json,
@@ -94,14 +102,17 @@ def main() -> None:
     fixture = "bench"
     if "--fixture" in sys.argv:
         fixture = sys.argv[sys.argv.index("--fixture") + 1]
+    lo, hi = 2, 8  # N and 4N; see BENCH/BASELINE.md for the saturation sweep
+    if "--cores" in sys.argv:
+        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cores") + 1].split(","))
     fixture_path = ensure_fixture(fixture)
     zip_path = make_zip()
 
-    r8 = run_child(8, fixture_path, zip_path, queries=False)
-    r32 = run_child(32, fixture_path, zip_path, queries=True)
+    r8 = run_child(lo, fixture_path, zip_path, queries=False)
+    r32 = run_child(hi, fixture_path, zip_path, queries=True)
 
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
-    eff = (tp32 / tp8) / 4.0
+    eff = (tp32 / tp8) / (hi / lo)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lat = r32.get("query_latency", {})
@@ -116,15 +127,15 @@ levels — the sandbox substitution for N vs 4N executors (BASELINE.md).
 
 | cores | build s | turns/sec | postings/sec | partition skew (max/mean) |
 |---|---|---|---|---|
-| 8 (N) | {r8['build_seconds']} | {tp8} | {r8['postings_per_sec']} | {r8['partition_skew']} |
-| 32 (4N) | {r32['build_seconds']} | {tp32} | {r32['postings_per_sec']} | {r32['partition_skew']} |
+| {r8['cores']} (N) | {r8['build_seconds']} | {tp8} | {r8['postings_per_sec']} | {r8['partition_skew']} |
+| {r32['cores']} (4N) | {r32['build_seconds']} | {tp32} | {r32['postings_per_sec']} | {r32['partition_skew']} |
 
-**Scaling efficiency (N→4N) = (tp32/tp8)/4 = {eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency (N→4N) = (tp_4N/tp_N)/4 = {eff:.3f}** (target ≥ 0.8)
 
-Stage breakdown (seconds): 8 cores {json.dumps(r8['stage_seconds'])}; 32
+Stage breakdown (seconds): N cores {json.dumps(r8['stage_seconds'])}; 4N
 cores {json.dumps(r32['stage_seconds'])}.
 
-## Query latency (32 cores, warm index, reference query set, k=20)
+## Query latency (4N cores, warm index, reference query set, k=20)
 
 | mode | p50 s | p95 s |
 |---|---|---|

@@ -26,13 +26,18 @@ def main() -> None:
     from searchengine_spark.session import get_spark
     from searchengine_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
+    import os
+
     spark = get_spark(
         app_name=f"bench_build_{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
     transcripts = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(fixture_parquet)
-    cfg = EngineConfig(parallelism=cores)
+    cfg = EngineConfig(
+        parallelism=cores,
+        broadcast_ids_max=int(os.environ.get("SE_BCAST_MAX", 20_000_000)),
+    )
     eng = SearchEngine(spark, warehouse, cfg)
 
     t0 = time.time()

@@ -50,6 +50,11 @@ class EngineConfig:
     # Shuffle / range-partition width. local: ~cores; cluster: ~2-3× cores.
     parallelism: int = 32
 
+    # Broadcast the (conv_id, turn_idx) → doc_id map into the posting join
+    # when the corpus has at most this many docs (≈30 B/doc driver+executor
+    # memory); larger corpora use a shuffle join.
+    broadcast_ids_max: int = 20_000_000
+
     bm25: BM25Params = field(default_factory=BM25Params)
 
     # Search defaults — the reference's API defaults

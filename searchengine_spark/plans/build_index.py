@@ -168,6 +168,7 @@ def build_index(
             F.col("text").isNotNull() & (F.length("text") > 0)
         ).select("conv_id", "turn_idx")
         ids = assign_doc_ids(eligible_keys, parallelism=cfg.parallelism)
+        n_ids = ids.count()  # materializes the cache; n_docs for free
 
         rows = lemmatize_transcripts(src).select(
             "conv_id",
@@ -176,7 +177,13 @@ def build_index(
             "doc_len",
             F.explode("counts").alias("term", "tf"),
         )
-        joined = rows.join(ids, ["conv_id", "turn_idx"])
+        # broadcast the id map when it fits (≈30 B/doc → tens of millions of
+        # docs): the 30×-larger posting-row side then never shuffles for the
+        # join. Past that, fall back to a shuffle join — at 10^12 docs
+        # nothing else is possible and the SMJ shuffle is the price of dense
+        # global ids.
+        id_side = F.broadcast(ids) if n_ids <= cfg.broadcast_ids_max else ids
+        joined = rows.join(id_side, ["conv_id", "turn_idx"])
         cat.write(
             flat_postings(joined).repartition(cfg.parallelism, "term"),
             "postings_flat",

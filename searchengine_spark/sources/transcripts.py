@@ -54,6 +54,7 @@ FIXTURE_SIZES = {
     "tiny": (1, 100, 10),
     "small": (3, 2000, 25),
     "bench": (3, 40000, 25),
+    "bench4": (3, 160000, 25),  # ~4M turns — scaling-efficiency runs
 }
 
 _CONSONANTS = list("bcdfghjklmnpqrtvwz")  # no 's' → no stems ending in s
