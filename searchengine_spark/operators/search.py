@@ -369,6 +369,12 @@ class BlockSearcher:
         # the build-time shard geometry (index_meta) must win over one
         # re-derived from n_docs — doc-range shards are physical layout
         self.shard_size = shard_size or self.cfg.shard_size(self.n_docs)
+        # driver-side memo of term stats: (term) → list of per-site rows.
+        # Each query only ever touches its own lemmas, so this stays tiny
+        # even with a 10^8-term vocabulary; it removes one terms-table scan
+        # job per repeated term (invalidated by reloading the searcher,
+        # which incremental updates do).
+        self._term_stats_cache: dict[str, list] = {}
 
     # -- query planning (driver side, analog of SearchServiceImpl.java:48-105)
     def _plan(self, query: str, site: str | None, mode: str):
@@ -376,16 +382,23 @@ class BlockSearcher:
         if not lemmas:
             raise EmptySearchQueryError(query)
         tl = sorted(lemmas)
-        stats = (
-            self.terms.filter(F.col("term").isin(tl))
-            .select("term", "site", "df", "idf")
-            .collect()
-        )
+        missing = [t for t in tl if t not in self._term_stats_cache]
+        if missing:
+            fetched = (
+                self.terms.filter(F.col("term").isin(missing))
+                .select("term", "site", "df", "idf")
+                .collect()
+            )
+            for t in missing:
+                self._term_stats_cache[t] = []
+            for r in fetched:
+                self._term_stats_cache[r["term"]].append(r)
         per_site: dict[str, set[str]] = {}
         idf: dict[str, float] = {}
-        for r in stats:
-            per_site.setdefault(r["site"], set()).add(r["term"])
-            idf[r["term"]] = float(r["idf"])
+        for t in tl:
+            for r in self._term_stats_cache[t]:
+                per_site.setdefault(r["site"], set()).add(r["term"])
+                idf[r["term"]] = float(r["idf"])
         sites = [site] if site is not None else sorted(self.site_ranges)
         if mode == "reference":
             # per-site conjunctive gate (SearchServiceImpl.java:55-58):
