@@ -1,0 +1,98 @@
+"""Unit tests for the training-data analysis operators (beyond the
+entry-vs-DuckDB parity suite): invariants and the multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.analysis import ann, dedup, multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",        # exact dup of 0
+                "alpha beta gamma delta epsilon eta",         # near dup of 0
+                "totally different words entirely here now",
+                "",                                            # ineligible
+                None,                                          # ineligible
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "canonical_doc"] == 0 and out.loc[1, "is_dup"] == 1
+    assert out.loc[0, "is_dup"] == 0
+    assert out.loc[2, "is_dup"] == 0  # near-dup is NOT an exact dup
+    assert 4 not in out.index and 5 not in out.index  # ineligible dropped
+
+
+def test_jaccard_finds_near_dup_pair(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got          # identical: jaccard 1.0
+    assert (0, 2) in got          # near dup: 3/5 shared trigrams
+    assert all(a < b for a, b in got)
+    j01 = float(pairs.set_index(["a", "b"]).loc[(0, 1), "jaccard"])
+    assert j01 == 1.0
+
+
+def test_minhash_lsh_candidates_superset_of_identical(docs):
+    sigs = dedup.minhash_signatures(docs).toPandas().set_index("doc_id")
+    # identical docs → identical signatures
+    assert list(sigs.loc[0]) == list(sigs.loc[1])
+    pairs = dedup.minhash_lsh_pairs(docs).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got  # identical signature → same bucket in every band
+
+
+def test_simhash_identical_and_distant(docs):
+    sh = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh.loc[0] == sh.loc[1]
+    # near-dup hamming distance small, distant doc large(ish)
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sh.loc[0], sh.loc[2]) <= ham(sh.loc[0], sh.loc[3])
+
+
+def test_fingerprint_identity(docs):
+    fp = textstats.fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp.loc[0] == fp.loc[1]
+    assert len(fp) == 4  # eligible docs only
+
+
+def test_ann_topk_self_similarity_excluded(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(5),
+            "embedding": [
+                [1.0, 0.0, 0.0], [0.99, 0.1, 0.0], [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0], [-1.0, 0.0, 0.0],
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    out = ann.cosine_topk(emb, probe_ids=[0], k=2).toPandas()
+    assert list(out["vec_id"]) == [1, 2]  # nearest first, self excluded
+    assert out["cosine"].iloc[0] > 0.99
+
+
+def test_multimodal_plumbing(docs):
+    payloads = multimodal.to_payload_table(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(payloads).toPandas().set_index("doc_id")
+    assert len(feats) == 4
+    assert feats.loc[0, "n_bytes"] == len("alpha beta gamma delta epsilon zeta")
+    assert feats.loc[0, "first_byte"] == ord("a")
+    assert feats.loc[0, "head_sum"] == sum(b"alpha be")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG")
