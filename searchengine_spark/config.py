@@ -38,7 +38,7 @@ class EngineConfig:
     block_size: int = 128
 
     # Doc-range sharding (SURVEY §4.3.3 skew handling): shard =
-    # doc_id // docs_per_shard. Every applyInPandas group is ≤ min(df,
+    # doc_id // docs_per_shard. Every encoder run is ≤ min(df_in_shard,
     # docs_per_shard) postings, so a df≈N stopword term is split into
     # ceil(N / docs_per_shard) independently-sorted, independently-compressed
     # contiguous doc ranges — the skewed-term "salted shuffle" whose merge is
@@ -46,6 +46,14 @@ class EngineConfig:
     # WAND kernel's unit of parallelism (all query terms co-partitioned by
     # doc range). None → derived from corpus size and `parallelism`.
     docs_per_shard: int | None = None
+
+    # Upper bound on the derived docs_per_shard: bounds the block encoder's
+    # run buffer and the query kernel's per-shard frame ABSOLUTELY (a
+    # (term, shard) run is ≤ this many postings) even when n_docs /
+    # (4·parallelism) would exceed it — group size must not grow linearly
+    # with corpus size at fixed parallelism. 2^21 docs ≈ 50 MB of posting
+    # rows per run worst case.
+    max_docs_per_shard: int = 1 << 21
 
     # Shuffle / range-partition width. local: ~cores; cluster: ~2-3× cores.
     parallelism: int = 32
@@ -67,13 +75,17 @@ class EngineConfig:
 
     def shard_size(self, n_docs: int) -> int:
         """Resolve docs_per_shard: aim ≈4 shards/core, with a floor of 4096
-        docs/shard so shard count (== pandas group count in the block
-        encoder, == query-kernel task count) never explodes on small corpora
-        and, crucially, does not grow with core count on a fixed input —
-        otherwise adding cores adds per-group overhead instead of speed.
-        At 10^12 docs the 4·parallelism target dominates and each shard's
-        posting frame stays O(docs_per_shard × avgdl) rows."""
+        docs/shard so shard count (== query-kernel task count) never explodes
+        on small corpora and, crucially, does not grow with core count on a
+        fixed input — otherwise adding cores adds per-group overhead instead
+        of speed — and a ceiling of ``max_docs_per_shard`` so encoder-run /
+        query-frame memory stays bounded regardless of corpus size (at
+        10^12 docs the cap dominates and shard count grows with the data,
+        which is correct: shards are the unit of parallelism)."""
         if self.docs_per_shard is not None:
             return self.docs_per_shard
         target_shards = max(1, 4 * self.parallelism)
-        return max(4096, math.ceil(max(1, n_docs) / target_shards))
+        return min(
+            self.max_docs_per_shard,
+            max(4096, math.ceil(max(1, n_docs) / target_shards)),
+        )

@@ -25,24 +25,38 @@ _U64 = np.uint64
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative integers to bytes."""
+def varint_encode_array(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a 1-D array of non-negative integers.
+
+    Returns ``(bytes_u8, value_offsets)`` where ``bytes_u8`` is the encoded
+    stream as a uint8 array and ``value_offsets`` (int64, length n+1) gives
+    each value's starting byte offset (last element = total length). The
+    offsets let a caller slice the stream at arbitrary value boundaries —
+    the block encoder encodes a whole (multi-block) chunk in ONE vectorized
+    pass and splits per posting block afterwards, instead of running the
+    encoder once per 128-entry block."""
     vals = np.ascontiguousarray(values, dtype=_U64)
     if vals.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     nbytes = np.ones(vals.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += vals >= t
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    offsets = np.concatenate(([0], ends))
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
     for i in range(10):
         mask = nbytes > i
         if not mask.any():
             break
         chunk = (vals[mask] >> _U64(7 * i)) & _U64(0x7F)
         cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
-        out[offsets[mask] + i] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+        out[offsets[:-1][mask] + i] = chunk.astype(np.uint8) | cont
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative integers to bytes."""
+    return varint_encode_array(values)[0].tobytes()
 
 
 def varint_decode(data: bytes) -> np.ndarray:

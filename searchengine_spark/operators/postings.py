@@ -5,37 +5,56 @@ Spark-first re-expression of the reference's indexing dataflow
 ``indexing/IndexingThread.java:127-149`` bulk flush). The concurrent-map
 accumulation becomes in-UDF tf maps + hash aggregation for df; the
 ``search_index`` posting-row table (``model/Index.java:14-40``) becomes
-delta+varint block columns built inside ``applyInPandas`` (SURVEY §4.3.2).
+delta+varint block columns built inside a streaming ``mapInArrow`` kernel
+(SURVEY §4.3.2).
 
 Scale notes (10^12 turns):
 - tf is counted INSIDE the lemmatizer UDF (per-doc ``map<term,tf>``), so no
   per-occurrence row ever crosses a shuffle — the tf agg stage is gone;
   ``site``/``doc_len`` ride along as functionally-dependent columns.
-- block encoding groups by doc-range ``shard`` (= doc_id // docs_per_shard):
-  group COUNT equals the shard count (vocabulary-independent) and group SIZE
-  is bounded by docs_per_shard × avg doc len, uniform by construction. A
-  df≈N stopword term is automatically split into contiguous, independently
-  sorted+compressed doc ranges (explicit skew handling — no group is ever
-  O(df)); shards are doc-range aligned across terms, which is exactly what
-  the query kernel partitions on.
+- the block-encode shuffle carries (term_id int32, doc_id int64, tf int32,
+  score f64) — terms are dictionary-encoded to dense ints BEFORE the
+  shuffle (the string column was ~40% of the bytes moved), and the shuffle
+  output is sorted JVM-side (``sortWithinPartitions``) so the Python kernel
+  receives (shard, term, doc) runs ready to slice — no pandas sort, no
+  per-group Arrow overhead (``mapInArrow`` streams record batches).
+- memory in the kernel is bounded by the Arrow batch size plus ONE
+  incomplete (term, shard) run, i.e. ≤ min(df_in_shard, docs_per_shard)
+  postings; ``EngineConfig.max_docs_per_shard`` caps that bound
+  independently of corpus size (a df≈N stopword term is still split into
+  contiguous, independently compressed doc ranges — explicit skew handling;
+  no group is ever O(df)). Shards are doc-range aligned across terms, which
+  is exactly what the query kernel partitions on.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searchengine_spark.config import EngineConfig
-from searchengine_spark.functions.codec import varint_encode
 from searchengine_spark.functions.lemmatize import lemma_counts_udf
+from searchengine_spark.operators.doc_ids import assign_doc_ids
 
 BLOCKS_SCHEMA = (
     "term string, shard long, block_id int, min_doc long, max_doc long, "
     "count int, block_max_tf int, block_max_score double, "
     "doc_gaps binary, tfs binary"
 )
+
+#: mapInArrow output before the term_id → term string join (1/block_size the
+#: row count of the postings themselves, so the join input is small)
+_ENC_SCHEMA = (
+    "term_id long, shard long, block_id int, min_doc long, max_doc long, "
+    "count int, block_max_tf int, block_max_score double, "
+    "doc_gaps binary, tfs binary"
+)
+
+#: reserved negative ids for the forward-structure pseudo-terms (real term
+#: ids are dense ≥ 0 ranks, so no collision is possible)
+_TERM_ID_DOCLEN = -1
+_TERM_ID_SITE = -2
 
 
 def site_id_map(documents: DataFrame) -> dict[str, int]:
@@ -80,31 +99,166 @@ def flat_postings(rows_with_ids: DataFrame) -> DataFrame:
     )
 
 
-def term_stats(flat: DataFrame, n_docs: int) -> tuple[DataFrame, DataFrame]:
-    """(per-site terms table, global term stats with idf).
+def idf_col(df_col, n_docs: int):
+    """Lucene-style non-negative idf as a Column (``BM25Params.idf``)."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_col + F.lit(0.5))
+        / (df_col + F.lit(0.5))
+    )
 
-    terms(term, site, df, cf, idf): analog of the ``lemma`` table —
-    df = pages-on-site containing the lemma (``model/Lemma.java:14-37``,
-    increment logic ``PageIndexer.java:92-98``). ``flat`` is unique on
-    (doc_id, term), so df is a plain count, no countDistinct shuffle.
-    idf is corpus-global (Lucene-style, see ``BM25Params.idf``).
+
+def term_stats(flat: DataFrame) -> DataFrame:
+    """Per-site terms table (term, site, df, cf): analog of the ``lemma``
+    table — df = pages-on-site containing the lemma (``model/Lemma.java:
+    14-37``, increment logic ``PageIndexer.java:92-98``). ``flat`` is unique
+    on (doc_id, term), so df is a plain count, no countDistinct shuffle.
+    ONE aggregation pass over the postings; the corpus-global stats derive
+    from this table's rollup (:func:`global_term_stats`) — a doc belongs to
+    exactly one site, so Σ_site df == global df."""
+    return flat.groupBy("term", "site").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def global_term_stats(
+    per_site: DataFrame, n_docs: int, parallelism: int = 32
+) -> DataFrame:
+    """terms(per-site) rollup → (term, df_global, cf_global, idf, term_id).
+    Input is vocabulary-sized (× sites), not posting-sized — call it on the
+    WRITTEN terms table so the rollup never recomputes the posting
+    aggregation. idf is corpus-global (Lucene-style, see ``BM25Params.idf``);
+    it is a build-time snapshot — the searcher recomputes idf at query time
+    from (df_global, current n_docs) so incremental updates never need to
+    rewrite this column (plans/incremental.py).
+
+    ``term_id`` is the PERSISTENT dense dictionary id (two-pass range
+    assign, SURVEY §4.3.1 shape): the block encoder shuffles int ids instead
+    of term strings. It lives in the table — never re-derived on the fly —
+    so every later consumer (incremental re-encodes included) sees one
+    stable dictionary; new terms get max_id+1… appends
+    (plans/incremental.py)."""
+    g = per_site.groupBy("term").agg(
+        F.sum("df").alias("df_global"), F.sum("cf").alias("cf_global")
+    ).withColumn("idf", idf_col(F.col("df_global"), n_docs))
+    return assign_doc_ids(
+        g, key_cols=("term",), parallelism=parallelism, id_col="term_id"
+    )
+
+
+def _binary_array(data: np.ndarray, value_offsets: np.ndarray):
+    """Zero-ish-copy Arrow binary array from a uint8 byte stream + int64
+    value offsets (length n+1) — avoids materializing one Python ``bytes``
+    per posting block."""
+    import pyarrow as pa
+
+    off = value_offsets.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(off) - 1,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def make_stream_encoder(shard_size: int, block_size: int):
+    """Build the mapInArrow kernel: a stream of record batches sorted by
+    (shard, term_id, doc_id) → posting-block rows (_ENC_SCHEMA).
+
+    The kernel buffers rows only until a (shard, term_id) run completes, so
+    peak memory is one Arrow batch + one run (≤ min(df_in_shard,
+    docs_per_shard) postings). All per-posting work is vectorized numpy:
+    run/block boundaries from change-point scans, per-block metadata via
+    ``reduceat``, and ONE varint encode per chunk split at block offsets.
     """
-    global_stats = flat.groupBy("term").agg(
-        F.count("*").alias("df_global"), F.sum("tf").alias("cf_global")
-    ).withColumn(
-        "idf",
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df_global") + F.lit(0.5))
-            / (F.col("df_global") + F.lit(0.5))
-        ),
+    import pyarrow as pa
+
+    from searchengine_spark.functions.codec import varint_encode_array
+
+    fields = pa.schema(
+        [
+            ("term_id", pa.int64()),
+            ("shard", pa.int64()),
+            ("block_id", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("count", pa.int32()),
+            ("block_max_tf", pa.int32()),
+            ("block_max_score", pa.float64()),
+            ("doc_gaps", pa.binary()),
+            ("tfs", pa.binary()),
+        ]
     )
-    per_site = (
-        flat.groupBy("term", "site")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        .join(global_stats.select("term", "idf"), "term")
-    )
-    return per_site, global_stats
+
+    def encode_chunk(tid, doc, tf, score):
+        """Complete (shard, term) runs → one output RecordBatch."""
+        shard = doc // shard_size
+        chg = np.flatnonzero((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])) + 1
+        run_starts = np.concatenate(([0], chg))
+        run_ends = np.concatenate((chg, [len(tid)]))
+        run_lens = run_ends - run_starts
+        nblocks = -(-run_lens // block_size)  # ceil
+        total = int(nblocks.sum())
+        run_of_block = np.repeat(np.arange(len(run_lens)), nblocks)
+        first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+        block_idx = np.arange(total) - first_block[run_of_block]
+        bstart = run_starts[run_of_block] + block_idx * block_size
+        bend = np.minimum(bstart + block_size, run_ends[run_of_block])
+        # doc-id gaps, absolute at every block start (run starts included —
+        # a run's first block starts the run); blocks tile the chunk
+        # contiguously, so bstart partitions the whole array for reduceat
+        gaps = np.empty_like(doc)
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[bstart] = doc[bstart]
+        gap_bytes, gap_off = varint_encode_array(gaps)
+        tf_bytes, tf_off = varint_encode_array(tf)
+        cut = np.concatenate((bstart, [len(doc)]))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(tid[bstart], pa.int64()),
+                pa.array(shard[bstart], pa.int64()),
+                pa.array(block_idx.astype(np.int32), pa.int32()),
+                pa.array(doc[bstart], pa.int64()),
+                pa.array(doc[bend - 1], pa.int64()),
+                pa.array((bend - bstart).astype(np.int32), pa.int32()),
+                pa.array(
+                    np.maximum.reduceat(tf, bstart).astype(np.int32), pa.int32()
+                ),
+                pa.array(np.maximum.reduceat(score, bstart), pa.float64()),
+                _binary_array(gap_bytes, gap_off[cut]),
+                _binary_array(tf_bytes, tf_off[cut]),
+            ],
+            schema=fields,
+        )
+
+    def encode_stream(batches):
+        pend = None  # (tid, doc, tf, score) of the trailing incomplete run
+        for batch in batches:
+            tid = batch.column("term_id").to_numpy(zero_copy_only=False)
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            score = batch.column("score").to_numpy(zero_copy_only=False)
+            if pend is not None:
+                tid = np.concatenate((pend[0], tid))
+                doc = np.concatenate((pend[1], doc))
+                tf = np.concatenate((pend[2], tf))
+                score = np.concatenate((pend[3], score))
+            if len(tid) == 0:
+                pend = None
+                continue
+            shard = doc // shard_size
+            chg = np.flatnonzero(
+                (tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])
+            )
+            if chg.size:
+                cut = int(chg[-1]) + 1  # last run boundary: emit [0, cut)
+                yield encode_chunk(tid[:cut], doc[:cut], tf[:cut], score[:cut])
+                pend = (tid[cut:], doc[cut:], tf[cut:], score[cut:])
+            else:
+                pend = (tid, doc, tf, score)
+        if pend is not None and len(pend[0]):
+            yield encode_chunk(*pend)
+
+    return encode_stream
 
 
 def encode_posting_blocks(
@@ -124,6 +278,19 @@ def encode_posting_blocks(
     block-max WAND pruning (SURVEY §4.3.2/§4.3.4). block_max_score is the
     BM25 upper bound of any posting in the block (uses true per-doc lengths).
 
+    Physical plan (the stage the 2-vs-8-core efficiency hinges on):
+    1. dense int ``term_id`` per term (two-pass range assign over the
+       vocabulary-sized terms table — NOT the postings);
+    2. join ids+idf onto flat postings, compute the BM25 score, shuffle
+       (term_id, doc_id, tf, score) hashed by doc-range shard — ~24 B/row
+       vs ~44 with the term string and a materialized shard column
+       (shard is re-derived from doc_id on both sides of the exchange);
+    3. ``sortWithinPartitions(shard, term_id, doc_id)`` — JVM radix-ish
+       sort, replacing the old per-group pandas object sort;
+    4. streaming ``mapInArrow`` block encode (:func:`make_stream_encoder`);
+    5. join the block rows (1/block_size the posting count) back to term
+       strings — AQE broadcasts the dictionary at small vocab, SMJ at 10^9.
+
     When ``documents`` is given, two forward structures are encoded into the
     same table under reserved pseudo-terms, co-sharded with real postings so
     the query kernel never joins the 10^12-row documents table:
@@ -134,100 +301,70 @@ def encode_posting_blocks(
     """
     from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
 
+    spark = flat.sparkSession
     shard_size = cfg.shard_size(n_docs)
     k1, b = cfg.bm25.k1, cfg.bm25.b
-    block_size = cfg.block_size
+
+    # term_id comes FROM the terms_global table (persistent dictionary —
+    # assigned once at build by global_term_stats, appended-to by
+    # incremental updates); deriving ids here would silently disagree with
+    # a cached/stale plan across incremental runs.
+    stats = global_stats.select("term", "idf", "term_id")
 
     scored = (
-        flat.join(global_stats.select("term", "idf"), "term")
-        .withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("long"))
-        .withColumn(
-            "score",
-            F.col("idf")
-            * F.col("tf")
-            * F.lit(k1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
-            ),
+        flat.join(stats, "term")
+        .select(
+            F.col("term_id"),
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+                )
+            ).alias("score"),
         )
-        .select("term", "shard", "doc_id", "tf", "score")
     )
     if documents is not None:
         doclen_rows = documents.select(
-            F.lit(DOCLEN_TERM).alias("term"),
-            (F.col("doc_id") / F.lit(shard_size)).cast("long").alias("shard"),
+            F.lit(_TERM_ID_DOCLEN).cast("long").alias("term_id"),
             "doc_id",
-            F.col("doc_len").cast("long").alias("tf"),
+            F.col("doc_len").cast("int").alias("tf"),
             F.lit(0.0).alias("score"),
         )
         # site_ids must be the CORPUS-WIDE mapping — when re-encoding a shard
         # subset (plans/incremental.py) the caller passes the global one
         sids = site_ids if site_ids is not None else site_id_map(documents)
-        spark = documents.sparkSession
         sid_df = F.broadcast(
-            spark.createDataFrame(sorted(sids.items()), "site string, _sid long")
+            spark.createDataFrame(sorted(sids.items()), "site string, _sid int")
         )
         site_rows = documents.join(sid_df, "site").select(
-            F.lit(SITE_TERM).alias("term"),
-            (F.col("doc_id") / F.lit(shard_size)).cast("long").alias("shard"),
+            F.lit(_TERM_ID_SITE).cast("long").alias("term_id"),
             "doc_id",
             F.col("_sid").alias("tf"),
             F.lit(0.0).alias("score"),
         )
         scored = scored.unionByName(doclen_rows).unionByName(site_rows)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group = ONE doc-range shard holding ALL its terms' postings.
-        # Grouping by shard alone (not (term, shard)) keeps the pandas-group
-        # count equal to the shard count — independent of vocabulary size —
-        # while group SIZE stays bounded by docs_per_shard × avg doc len
-        # (doc ranges are uniform; skewed terms are still split across
-        # shards). Grouping by (term, shard) created |vocab|·|shards| tiny
-        # groups whose per-group Arrow overhead dominated the build and got
-        # WORSE with more cores (more shards → more groups).
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        shard = int(pdf["shard"].iloc[0])
-        terms = pdf["term"].to_numpy(object)
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        scores = pdf["score"].to_numpy(np.float64)
-        # term-run boundaries (terms sorted → runs are contiguous)
-        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms)]))
-        rows = []
-        for s0, s1 in zip(starts, ends):
-            term = terms[s0]
-            for b0 in range(s0, s1, block_size):
-                b1 = min(b0 + block_size, s1)
-                d = doc_ids[b0:b1]
-                t = tfs[b0:b1]
-                s = scores[b0:b1]
-                gaps = np.empty_like(d)
-                gaps[0] = d[0]
-                np.subtract(d[1:], d[:-1], out=gaps[1:])
-                rows.append(
-                    (
-                        term,
-                        shard,
-                        (b0 - s0) // block_size,
-                        int(d[0]),
-                        int(d[-1]),
-                        int(b1 - b0),
-                        int(t.max()),
-                        float(s.max()),
-                        varint_encode(gaps),
-                        varint_encode(t),
-                    )
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard", "block_id", "min_doc", "max_doc", "count",
-                "block_max_tf", "block_max_score", "doc_gaps", "tfs",
-            ],
-        )
+    shard_col = (F.col("doc_id") / F.lit(shard_size)).cast("long")
+    stream = scored.repartition(cfg.parallelism, shard_col).sortWithinPartitions(
+        shard_col, "term_id", "doc_id"
+    )
+    encoded = stream.mapInArrow(
+        make_stream_encoder(shard_size, cfg.block_size), _ENC_SCHEMA
+    )
 
-    return scored.groupBy("shard").applyInPandas(encode, BLOCKS_SCHEMA)
+    dict_df = global_stats.select("term_id", "term").unionByName(
+        spark.createDataFrame(
+            [(_TERM_ID_DOCLEN, DOCLEN_TERM), (_TERM_ID_SITE, SITE_TERM)],
+            "term_id long, term string",
+        )
+    )
+    return encoded.join(dict_df, "term_id").select(
+        "term", "shard", "block_id", "min_doc", "max_doc", "count",
+        "block_max_tf", "block_max_score", "doc_gaps", "tfs",
+    )

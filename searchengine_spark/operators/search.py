@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from searchengine_spark.config import EngineConfig
+from searchengine_spark.config import BM25Params, EngineConfig
 from searchengine_spark.functions.codec import varint_decode
 from searchengine_spark.functions.lemmatize import query_lemmas
 from searchengine_spark.functions.snippets import make_snippet, make_title
@@ -386,7 +386,7 @@ class BlockSearcher:
         if missing:
             fetched = (
                 self.terms.filter(F.col("term").isin(missing))
-                .select("term", "site", "df", "idf")
+                .select("term", "site", "df")
                 .collect()
             )
             for t in missing:
@@ -396,9 +396,16 @@ class BlockSearcher:
         per_site: dict[str, set[str]] = {}
         idf: dict[str, float] = {}
         for t in tl:
+            df_global = 0
             for r in self._term_stats_cache[t]:
                 per_site.setdefault(r["site"], set()).add(r["term"])
-                idf[r["term"]] = float(r["idf"])
+                df_global += int(r["df"])
+            # idf is computed at QUERY time from (Σ_site df == global df,
+            # current n_docs) — never trusted from a stored column, so
+            # incremental updates (which shift n_docs/df) need no idf
+            # rewrite anywhere (plans/incremental.py M1 discipline)
+            if df_global:
+                idf[t] = BM25Params.idf(self.n_docs, df_global)
         sites = [site] if site is not None else sorted(self.site_ranges)
         if mode == "reference":
             # per-site conjunctive gate (SearchServiceImpl.java:55-58):

@@ -224,10 +224,19 @@ def build_index(
 
     # ---- stage 2: term dictionaries ----------------------------------------
     def stage_terms():
+        # ONE aggregation pass over the postings (term, site); the global
+        # stats roll up from the WRITTEN per-site table (vocabulary-sized
+        # input — Σ_site df == global df since a doc has exactly one site),
+        # so the posting-sized agg never runs twice.
+        from searchengine_spark.operators.postings import global_term_stats
+
         flat = cat.read("postings_flat")
-        per_site, global_stats = term_stats(flat, res.n_docs)
-        cat.write(per_site, "terms", sort_by=["term"])
-        cat.write(global_stats, "terms_global", sort_by=["term"])
+        cat.write(term_stats(flat), "terms", sort_by=["term"])
+        cat.write(
+            global_term_stats(cat.read("terms"), res.n_docs, cfg.parallelism),
+            "terms_global",
+            sort_by=["term"],
+        )
         n_terms = cat.read("terms_global").count()
         return [(0, n_terms, "")]
 

@@ -93,15 +93,38 @@ def reindex_turn(
     g_aff = aff_flat.groupBy("term").agg(
         F.count("*").alias("df_global"), F.sum("tf").alias("cf_global")
     )
-    g_rest = cat.read("terms_global").filter(~F.col("term").isin(affected)).select(
-        "term", "df_global", "cf_global"
+    g_old = cat.read("terms_global")
+    g_rest = g_old.filter(~F.col("term").isin(affected)).select(
+        "term", "df_global", "cf_global", "term_id"
+    )
+    # preserve the persistent term dictionary: existing terms KEEP their
+    # term_id; brand-new terms (bounded by one doc's vocabulary) get
+    # max_id+1… appends — ids never shift, so already-encoded blocks in
+    # other shards stay consistent with the dictionary.
+    old_ids = {
+        r["term"]: int(r["term_id"])
+        for r in g_old.filter(F.col("term").isin(affected))
+        .select("term", "term_id")
+        .collect()
+    }
+    next_id = int(
+        g_old.agg(F.max("term_id").alias("m")).collect()[0]["m"] or -1
+    ) + 1
+    for t in affected:
+        if t not in old_ids:
+            old_ids[t] = next_id
+            next_id += 1
+    id_df = spark.createDataFrame(
+        sorted(old_ids.items()), "term string, term_id long"
     )
     idf_expr = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df_global") + F.lit(0.5))
         / (F.col("df_global") + F.lit(0.5))
     )
-    g_new = g_rest.unionByName(g_aff).withColumn("idf", idf_expr)
+    g_new = g_rest.unionByName(g_aff.join(id_df, "term")).withColumn(
+        "idf", idf_expr
+    )
     cat.replace(g_new, "terms_global", sort_by=["term"])
 
     s_aff = aff_flat.groupBy("term", "site").agg(
@@ -110,9 +133,10 @@ def reindex_turn(
     s_rest = cat.read("terms").filter(~F.col("term").isin(affected)).select(
         "term", "site", "df", "cf"
     )
-    terms_new = s_rest.unionByName(s_aff).join(
-        cat.read("terms_global").select("term", "idf"), "term"
-    )
+    # NOTE: unaffected terms' stored idf goes stale here (n_docs may have
+    # changed) and that is fine — the searcher computes idf at query time
+    # from (df, n_docs); terms_global.idf is a build-time snapshot only.
+    terms_new = s_rest.unionByName(s_aff)
     cat.replace(terms_new, "terms", sort_by=["term"])
 
     # --- posting blocks: re-encode affected (term, shard) groups ------------

@@ -32,7 +32,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: the block encoder (mapInArrow) and the
+        # lemmatizer amortize per-batch Python/Arrow overhead; rows are
+        # skinny at those points so batch memory stays in the tens of MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # split big parquet inputs finer so scans (and the UDFs directly
         # above them) parallelize even on few-file inputs
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
