@@ -251,8 +251,12 @@ def q_simhash(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    # max_shingle_df=None: the oracle-gated query is EXACT (no df filter in
+    # the SQL either); the df cap stays an opt-in scale knob for skewed
+    # corpora, not silent recall loss hidden behind a green gate
     return dedup.ngram_jaccard_pairs(
-        _documents(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_TAU
+        _documents(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_TAU,
+        max_shingle_df=None,
     )
 
 
@@ -310,6 +314,19 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_binary(spark, sf_dir):
+    """Binary plumbing on REAL bytes: seeded non-UTF8 payloads (md5 digests)
+    with cycled media types, featurized through the Arrow mapInPandas path."""
+    payloads = multimodal.synthetic_binary_payloads(_documents(spark, sf_dir))
+    return multimodal.extract_features(payloads).select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("long"),
+        F.col("first_byte").cast("long"),
+        "head_sum",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_eligible": q_eligible,
@@ -335,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_token_stats": q_token_stats,
         "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_binary": q_multimodal_binary,
     }
 
 
@@ -421,10 +439,19 @@ def oracle_sql() -> dict[str, str]:
         f"then {2 ** i} else 0 end)"
         for i in range(16)
     )
-    head_sum = " + ".join(
-        f"(case when length(text) >= {i} then ascii(substr(text, {i}, 1)) else 0 end)"
-        for i in range(1, 9)
-    )
+    # byte-accurate head sum over the UTF-8 encoding: byte j of the blob via
+    # hex-pair parse ('0x' || substr(hex(b), 2j-1, 2)), NOT ascii()/substr()
+    # character semantics — those diverge from the Spark side's byte math on
+    # any non-ASCII text (the fixtures include Russian)
+    def blob_head_sum(blob: str, n: int = 8) -> str:
+        return " + ".join(
+            f"(case when octet_length({blob}) >= {j} then "
+            f"cast('0x' || substr(hex({blob}), {2 * j - 1}, 2) as int) "
+            f"else 0 end)"
+            for j in range(1, n + 1)
+        )
+
+    head_sum = blob_head_sum("b")
     en_markers = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
 
     return {
@@ -661,10 +688,29 @@ from documents d left join agg a on d.doc_id = a.doc_id
 where d.text is not null and d.text <> ''
 """,
         "q_multimodal_features": f"""
+with pl as (
+  select doc_id, encode(text) as b from documents
+  where text is not null and text <> ''
+)
 select doc_id,
-       cast(length(text) as bigint) as n_bytes,
-       cast(ascii(substr(text, 1, 1)) as bigint) as first_byte,
+       cast(octet_length(b) as bigint) as n_bytes,
+       cast(case when octet_length(b) >= 1
+            then cast('0x' || substr(hex(b), 1, 2) as int) else 0 end
+            as bigint) as first_byte,
        cast({head_sum} as bigint) as head_sum
-from documents where text is not null and text <> ''
+from pl
+""",
+        "q_multimodal_binary": f"""
+with pl as (
+  select doc_id, from_hex(md5(cast(doc_id as varchar))) as b,
+         (['image/png', 'audio/wav', 'video/mp4'])[cast(doc_id % 3 as int) + 1]
+           as media_type
+  from documents
+)
+select doc_id, media_type,
+       cast(octet_length(b) as bigint) as n_bytes,
+       cast(cast('0x' || substr(hex(b), 1, 2) as int) as bigint) as first_byte,
+       cast({blob_head_sum("b")} as bigint) as head_sum
+from pl
 """,
     }

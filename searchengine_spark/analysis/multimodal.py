@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, functions as F
 PAYLOAD_SCHEMA = (
     "doc_id long, payload binary, media_type string, n_bytes int"
 )
-FEATURES_SCHEMA = "doc_id long, n_bytes int, first_byte int, head_sum long"
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, first_byte int, head_sum long"
+)
+
+#: media types cycled by the synthetic binary fixture (doc_id mod 3)
+MEDIA_TYPES = ["image/png", "audio/wav", "video/mp4"]
 
 
 def to_payload_table(documents: DataFrame) -> DataFrame:
@@ -33,6 +38,21 @@ def to_payload_table(documents: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),
         F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+
+
+def synthetic_binary_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-binary fixture: payload = md5 digest bytes of the
+    doc_id string (16 arbitrary bytes, most of them invalid UTF-8), media
+    type cycled per doc. Proves the binary plumbing (Arrow binary columns
+    through mapInPandas) on payloads that are not text in disguise; the
+    DuckDB oracle reproduces the bytes via ``from_hex(md5(...))``."""
+    mt = F.array(*[F.lit(m) for m in MEDIA_TYPES])
+    return documents.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("payload"),
+        F.element_at(mt, (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.lit(16).alias("n_bytes"),
     )
 
 
@@ -64,6 +84,7 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
                     "n_bytes": feats.map(lambda t: t[0]),
                     "first_byte": feats.map(lambda t: t[1]),
                     "head_sum": feats.map(lambda t: t[2]),

@@ -59,9 +59,17 @@ class EngineConfig:
     parallelism: int = 32
 
     # Broadcast the (conv_id, turn_idx) → doc_id map into the posting join
-    # when the corpus has at most this many docs (≈30 B/doc driver+executor
-    # memory); larger corpora use a shuffle join.
-    broadcast_ids_max: int = 20_000_000
+    # when the corpus has at most this many docs; larger corpora use a
+    # shuffle join. As a JVM broadcast hash relation each row costs ~60-100 B
+    # (string conv_id + boxing + hash-table overhead), not the ~30 B of raw
+    # data — 4M rows ≈ 300-400 MB per executor, the sane ceiling for a
+    # multi-GB-heap executor. (Was 20M: ~1.5-2 GB per executor, an OOM risk.)
+    broadcast_ids_max: int = 4_000_000
+
+    # M4 (SURVEY §2.4): fail the build on duplicate (conv_id, turn_idx)
+    # input keys — checked in the same job that computes id offsets, so the
+    # validation costs no extra pass. Off → duplicates collapse to one doc.
+    validate_input_keys: bool = True
 
     bm25: BM25Params = field(default_factory=BM25Params)
 

@@ -106,7 +106,8 @@ class SearchEngine:
     # ---- /api/statistics -------------------------------------------------------
     def statistics(self) -> dict:
         cat = self.catalog
-        return _statistics(cat.read("documents"), cat.read("terms"))
+        state = cat.read("build_state") if cat.exists("build_state") else None
+        return _statistics(cat.read("documents"), cat.read("terms"), state)
 
     # ---- POST /api/indexPage ----------------------------------------------------
     def reindex_turn(self, conv_id: str, turn_idx: int, text: str) -> int:

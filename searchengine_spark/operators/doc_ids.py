@@ -24,12 +24,21 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+class DuplicateKeysError(ValueError):
+    """Input rows repeat the primary key (M4, SURVEY §2.4): the reference's
+    PK-backed tables make duplicate (site, path) unrepresentable
+    (``model/Page.java:14-39`` unique identity); here a silent
+    ``dense_rank`` collapse would corrupt tf semantics with no signal, so
+    the build fails loudly instead."""
+
+
 def assign_doc_ids(
     df: DataFrame,
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     parallelism: int = 32,
     id_col: str = "doc_id",
     persist: bool = True,
+    expect_unique: bool = False,
 ) -> DataFrame:
     """Add a dense 0-based ``id_col`` ordered by ``key_cols``.
 
@@ -52,12 +61,20 @@ def assign_doc_ids(
     ).withColumn("_pid", F.spark_partition_id())
     if persist:
         parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {
-        r["_pid"]: r["n"]
-        for r in parts.groupBy("_pid")
-        .agg(F.countDistinct(*key_cols).alias("n"))
+    # one job: per-partition distinct-key counts (the id offsets) and — in
+    # the same pass — raw row counts for the M4 duplicate-PK check
+    count_rows = (
+        parts.groupBy("_pid")
+        .agg(F.countDistinct(*key_cols).alias("n"), F.count("*").alias("raw"))
         .collect()
-    }
+    )
+    counts = {r["_pid"]: r["n"] for r in count_rows}
+    if expect_unique:
+        n_dup = sum(r["raw"] - r["n"] for r in count_rows)
+        if n_dup:
+            raise DuplicateKeysError(
+                f"{n_dup} input rows repeat an existing {key_cols} key"
+            )
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

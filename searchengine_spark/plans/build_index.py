@@ -120,12 +120,24 @@ def build_index(
             res.stages_skipped.append(stage)
             return
         t0 = time.time()
+        # RUNNING marker (Site.Status.INDEXING analog, model/Site.java:21-27,
+        # flipped by indexing/IndexingThread.java:57,75-76): one tiny
+        # single-row write per stage so an in-flight build is observable —
+        # the per-PARTITION running writes stay dropped (those were the
+        # measured overhead; one row per stage is three small jobs per build)
+        _append_state(cat, [(stage, -1, "RUNNING", 0, "", t0, 0.0, "", run_id)])
         try:
             part_rows = fn()  # list[(partition_id, rows, checksum)]
         except Exception as e:  # FAILED analog: Site.last_error (Site.java:25)
             _append_state(
                 cat, [(stage, -1, "FAILED", 0, "", t0, time.time(), str(e)[:500], run_id)]
             )
+            # completed stages' metrics must survive a failed run: on resume
+            # those stages are skipped as DONE and would otherwise never get
+            # their rows recorded
+            if metric_buf:
+                _append_metrics(cat, metric_buf)
+                metric_buf.clear()
             raise
         t1 = time.time()
         total = sum(r for _, r, _ in part_rows)
@@ -167,7 +179,12 @@ def build_index(
         eligible_keys = src.filter(
             F.col("text").isNotNull() & (F.length("text") > 0)
         ).select("conv_id", "turn_idx")
-        ids = assign_doc_ids(eligible_keys, parallelism=cfg.parallelism)
+        # expect_unique: duplicate (conv_id, turn_idx) keys fail the build
+        # loudly (M4) instead of silently collapsing inside dense_rank
+        ids = assign_doc_ids(
+            eligible_keys, parallelism=cfg.parallelism,
+            expect_unique=cfg.validate_input_keys,
+        )
         n_ids = ids.count()  # materializes the cache; n_docs for free
 
         rows = lemmatize_transcripts(src).select(

@@ -96,3 +96,22 @@ def test_multimodal_plumbing(docs):
     assert feats.loc[0, "head_sum"] == sum(b"alpha be")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG")
+
+
+def test_multimodal_real_binary(docs):
+    """Binary plumbing on actual non-UTF8 bytes: seeded md5-digest payloads
+    with cycled media types survive the Arrow mapInPandas round trip."""
+    import hashlib
+
+    payloads = multimodal.synthetic_binary_payloads(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = (
+        multimodal.extract_features(payloads).toPandas().set_index("doc_id")
+    )
+    for doc_id in feats.index:
+        digest = hashlib.md5(str(doc_id).encode()).digest()
+        assert feats.loc[doc_id, "n_bytes"] == 16
+        assert feats.loc[doc_id, "first_byte"] == digest[0]
+        assert feats.loc[doc_id, "head_sum"] == sum(digest[:8])
+        assert feats.loc[doc_id, "media_type"] == \
+            multimodal.MEDIA_TYPES[doc_id % 3]

@@ -129,3 +129,58 @@ def test_incremental_new_turn_append(spark, small_corpus, built):
     page, count = eng.search("brandnewturnword")
     assert count == 1
     assert list(page["conv_id"]) == ["conv00-999999"]
+
+
+def test_duplicate_input_keys_rejected(spark, small_corpus):
+    """M4 (SURVEY §2.4): duplicated (conv_id, turn_idx) input rows must fail
+    the build loudly, not collapse silently inside dense_rank."""
+    import pandas as pd
+
+    from searchengine_spark.operators.doc_ids import DuplicateKeysError
+
+    pdf = small_corpus.copy()
+    dup = pdf[pdf["text"].notna() & (pdf["text"] != "")].iloc[[0]]
+    pdf = pd.concat([pdf, dup], ignore_index=True)
+    wh = tempfile.mkdtemp(prefix="se_dup_")
+    eng = SearchEngine(spark, wh)
+    with pytest.raises(DuplicateKeysError):
+        eng.build(transcripts_spark_df(spark, pdf))
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_statistics_status_lifecycle(built):
+    """M5 parity: detailed rows carry status/statusTime/error
+    (DetailedStatisticsItem.java:10-25) derived from build_state; a
+    completed build reads INDEXED with a real timestamp."""
+    eng, _, _ = built
+    resp = eng.statistics()
+    assert resp["result"] is True
+    for d in resp["statistics"]["detailed"]:
+        assert d["status"] == "INDEXED"
+        assert d["statusTime"] > 0
+        assert d["error"] == ""
+    # build_state records the RUNNING marker before each stage's DONE
+    st = eng.catalog.read("build_state").toPandas()
+    running = st[(st["status"] == "RUNNING") & (st["partition_id"] == -1)]
+    assert {"documents", "terms", "postings"} <= set(running["stage"])
+
+
+def test_failed_build_status_and_metrics(spark, small_corpus):
+    """A failing stage records FAILED (surfaced in statistics) and flushes
+    metrics for stages that completed before the failure."""
+    import pandas as pd
+
+    from searchengine_spark.operators.doc_ids import DuplicateKeysError
+    from searchengine_spark.plans.stats import build_status
+
+    pdf = small_corpus.copy()
+    dup = pdf[pdf["text"].notna() & (pdf["text"] != "")].iloc[[0]]
+    pdf = pd.concat([pdf, dup], ignore_index=True)
+    wh = tempfile.mkdtemp(prefix="se_fail_")
+    eng = SearchEngine(spark, wh)
+    with pytest.raises(DuplicateKeysError):
+        eng.build(transcripts_spark_df(spark, pdf))
+    status, ts, err = build_status(eng.catalog.read("build_state"))
+    assert status == "FAILED"
+    assert "repeat" in err
+    shutil.rmtree(wh, ignore_errors=True)
