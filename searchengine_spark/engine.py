@@ -76,9 +76,12 @@ class SearchEngine:
         limit: int | None = None,
         mode: str = "reference",
         with_snippets: bool = False,
-        exact_count: bool = True,
+        exact_count: bool = False,
     ):
-        """Returns (page: pandas DataFrame, total candidate count)."""
+        """Returns (page: pandas DataFrame, total candidate count). BM25
+        default is full block-max WAND (exact top-k ranking, lower-bound
+        count); ``exact_count=True`` opts into the exact disjunctive count
+        at the cost of decoding every query term's postings."""
         return self.searcher.search(
             query, site=site, offset=offset, limit=limit, mode=mode,
             with_snippets=with_snippets, exact_count=exact_count,

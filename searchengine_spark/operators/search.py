@@ -158,7 +158,7 @@ def make_shard_kernel(
     b: float,
     avgdl: float,
     allowed_site_ids: list[int] | None,
-    exact_count: bool = True,
+    exact_count: bool = False,
 ):
     """Build the per-shard applyInPandas kernel.
 
@@ -432,12 +432,17 @@ class BlockSearcher:
         limit: int | None = None,
         mode: str = "reference",
         with_snippets: bool = False,
-        exact_count: bool = True,
+        exact_count: bool = False,
     ) -> tuple[pd.DataFrame, int]:
-        """``exact_count=False`` lets the BM25 kernel skip decoding blocks
-        that can't affect the top-k (full block-max WAND); the returned count
-        is then a lower bound — the Elasticsearch ``track_total_hits=false``
-        trade-off. Reference mode counts are always exact (conjunctive)."""
+        """The DEFAULT BM25 path is full block-max WAND: the kernel skips
+        decoding blocks that provably can't affect the top-k, so hot-term
+        latency stays sub-linear in df (the ranking is still EXACT — WAND
+        pruning only skips docs that cannot reach the top-k). The returned
+        count is then a lower bound — the Elasticsearch
+        ``track_total_hits=false`` trade-off; pass ``exact_count=True`` to
+        decode every term's doc-id lists upfront and get the exact
+        disjunctive candidate count (SearchResponse.count parity). Reference
+        mode counts are always exact (conjunctive intersection)."""
         cfg = self.cfg
         offset = cfg.default_offset if offset is None else offset
         limit = cfg.default_limit if limit is None else limit

@@ -35,10 +35,29 @@ def assert_page_matches(page, opage, count, ocount, q, mode):
 
 @pytest.mark.parametrize("mode", ["reference", "bm25"])
 def test_reference_query_set_rank_identity(engine, oracle, mode):
+    # exact_count=True: this test asserts COUNT parity with the oracle's
+    # full disjunctive candidate count (the default pruned path's count is
+    # a documented lower bound — covered by test_pruned_default below)
     for q in REFERENCE_QUERIES:
-        page, count = engine.search(q, mode=mode)
+        page, count = engine.search(q, mode=mode, exact_count=True)
         opage, ocount = oracle.search(q, mode=mode)
         assert_page_matches(page, opage, count, ocount, q, mode)
+
+
+def test_pruned_default_rank_identity(engine):
+    """The DEFAULT bm25 path (block-max WAND, exact_count=False) must return
+    the IDENTICAL ranking and scores as the full-decode path — pruning may
+    only skip docs that provably can't reach the top-k — while its count is
+    a lower bound between the page size and the exact candidate count."""
+    for q in REFERENCE_QUERIES:
+        exact, ecount = engine.search(q, mode="bm25", exact_count=True)
+        pruned, pcount = engine.search(q, mode="bm25")
+        assert list(pruned["doc_id"]) == list(exact["doc_id"]), q
+        np.testing.assert_allclose(
+            pruned["score"].to_numpy(float), exact["score"].to_numpy(float),
+            rtol=1e-12,
+        )
+        assert len(pruned) <= pcount <= ecount, q
 
 
 def test_site_filter(engine, oracle):
@@ -149,7 +168,14 @@ def test_doc_ids_dense_and_ordered(engine, oracle):
 
 
 def test_statistics_match_oracle(engine, oracle):
-    assert engine.statistics() == oracle.statistics()
+    got = engine.statistics()
+    # the oracle has no build_state: compare counts; the status-lifecycle
+    # fields (status/statusTime/error) are asserted in
+    # test_resume_incremental.test_statistics_status_lifecycle
+    for d in got["statistics"]["detailed"]:
+        for k in ("status", "statusTime", "error"):
+            d.pop(k)
+    assert got == oracle.statistics()
 
 
 def test_search_response_shape(engine):

@@ -112,7 +112,7 @@ def test_incremental_reindex_matches_full_rebuild(spark, small_corpus, built):
         ("uniquemarkerwordxyz", "bm25"),
         ("spark data", "bm25"),
     ]:
-        page, count = eng.search(q, mode=mode)
+        page, count = eng.search(q, mode=mode, exact_count=True)
         opage, ocount = oracle2.search(q, mode=mode)
         assert count == ocount, (q, mode)
         assert list(page["doc_id"]) == list(opage["doc_id"]), (q, mode)
