@@ -52,7 +52,10 @@ ANN_PROBES = [0, 1, 2, 3, 4]
 ANN_K = 10
 JACCARD_N, JACCARD_TAU = 3, 0.2
 EMBED_TAU = 0.1
-LSH_BITS = 8
+# 8 bits (vs the module's 16-bit default) at sf-test scale: 500 vectors
+# need coarser buckets to produce a meaningful candidate set; production
+# keeps 16+ bits so bucket count scales with the corpus
+ENTRY_LSH_BITS = 8
 
 _WORD_SPLIT = "[^A-Za-zА-ЯЁа-яё]+"
 
@@ -272,16 +275,19 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_lsh_buckets(spark, sf_dir):
+    """Seeded random-hyperplane LSH bucket histogram (n_bits × n_tables)."""
     return (
-        ann.lsh_sign_buckets(_embeddings(spark, sf_dir), n_bits=LSH_BITS)
-        .groupBy("bucket")
+        ann.lsh_sign_buckets(_embeddings(spark, sf_dir), n_bits=ENTRY_LSH_BITS)
+        .groupBy("lsh_table", "bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
 
 
 def q_embed_neardup(spark, sf_dir):
+    """Near-dup pairs from shared LSH buckets, star-paired (hot-bucket
+    guard), cosine-verified."""
     return ann.lsh_bucket_pairs(
-        _embeddings(spark, sf_dir), threshold=EMBED_TAU, n_bits=LSH_BITS
+        _embeddings(spark, sf_dir), threshold=EMBED_TAU, n_bits=ENTRY_LSH_BITS
     )
 
 
@@ -405,12 +411,34 @@ norms as (
 """
 
 
-def _bucket_expr(col: str = "embedding", bits: int = LSH_BITS) -> str:
+def _plane_dot_sql(plane, col: str = "embedding") -> str:
+    """Explicit left-to-right v[j]·c_j sum — same association order as the
+    Spark-side _bucket_col fold, so the double result is bit-identical."""
+    return " + ".join(
+        f"cast({col}[{j + 1}] as double) * {float(c)!r}"
+        for j, c in enumerate(plane)
+    )
+
+
+def _bucket_expr(table: int, col: str = "embedding") -> str:
+    """One LSH table's bucket id: Σ 2^i·[⟨v, h_i⟩ > 0] with the SAME seeded
+    hyperplanes the Spark side uses (ann.random_hyperplanes)."""
+    planes = ann.random_hyperplanes(n_bits=ENTRY_LSH_BITS, dim=64)[table]
     terms = [
-        f"(case when {col}[{i + 1}] > 0 then {2 ** i} else 0 end)"
-        for i in range(bits)
+        f"(case when ({_plane_dot_sql(p, col)}) > 0 then {2 ** i} else 0 end)"
+        for i, p in enumerate(planes)
     ]
     return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def _bk_cte() -> str:
+    """(vec_id, lsh_table, bucket) across all tables."""
+    branches = "\n  union all\n".join(
+        f"  select vec_id, {t} as lsh_table, {_bucket_expr(t)} as bucket "
+        f"from embeddings"
+        for t in range(ann.LSH_TABLES)
+    )
+    return f"bk as (\n{branches}\n)"
 
 
 def _ref_terms_sql() -> str:
@@ -565,9 +593,10 @@ sig as (
 banded as (
 {band_selects}
 )
-select distinct a.doc_id as a, b.doc_id as b
-from banded a join banded b
-  on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+select distinct a, b from (
+  select min(doc_id) over (partition by band, band_key) as a, doc_id as b
+  from banded
+) where b <> a
 """,
         "q_simhash": f"""
 with {_WRD},
@@ -626,15 +655,19 @@ select query_id, cast(rank as bigint) as rank, vec_id, cosine from (
 ) where rank <= {ANN_K}
 """,
         "q_lsh_buckets": f"""
-select {_bucket_expr()} as bucket, count(*) as n_vecs
-from embeddings group by 1
+with {_bk_cte()}
+select lsh_table, bucket, count(*) as n_vecs
+from bk group by 1, 2
 """,
         "q_embed_neardup": f"""
 with {_EFLAT},
-bk as (select vec_id, {_bucket_expr()} as bucket from embeddings),
+{_bk_cte()},
 cand as (
-  select a.vec_id as a, b.vec_id as b
-  from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+  select distinct a, b from (
+    select min(vec_id) over (partition by lsh_table, bucket) as a,
+           vec_id as b
+    from bk
+  ) where b <> a
 ),
 dots as (
   select c.a, c.b, sum(cast(fa.v as double) * cast(fb.v as double)) as dot

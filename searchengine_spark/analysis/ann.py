@@ -3,25 +3,38 @@
 Two paths, mirroring production ANN systems:
 
 - :func:`cosine_topk` — brute-force exact top-k for a (small) probe set:
-  broadcast the probes, one pass over the corpus, per-partition top-k via
-  ``Window`` + rank filter (Spark's TakeOrderedAndProject shape). Exact;
-  O(n·|probes|·d) — the correctness baseline and the right answer when
-  |probes| is small.
+  broadcast the probes, one pass over the corpus, PER-PARTITION partial
+  top-k then a merge over ≤ partitions×k rows — no stage ever funnels the
+  whole scored corpus into one partition per probe (the global-window
+  anti-pattern). Exact; O(n·|probes|·d) — the correctness baseline and the
+  right answer when |probes| is small.
 - :func:`lsh_sign_buckets` / :func:`lsh_bucket_pairs` — the scale path:
-  random-hyperplane (here: coordinate-sign) LSH buckets; candidate pairs
-  only materialize within a bucket. At 10^12 vectors the bucket key is the
-  shuffle key and no n² anything exists.
+  SEEDED random-hyperplane LSH (n_bits × n_tables, Charikar SimHash for
+  cosine) with star-pairing inside each bucket: every member pairs with the
+  bucket's canonical (min vec_id) member only, so a bucket of m vectors
+  emits m−1 candidate pairs, never m²/2 — 10^6 identical boilerplate
+  vectors cost O(n), and near-dup groups still connect through their
+  canonical. Candidates are verified with the exact cosine.
 
 All arithmetic is JVM-side (``aggregate``/``zip_with`` over array columns,
 cast to double before multiplying — float32 inputs, float64 math, same as
-the DuckDB oracle).
+the DuckDB oracle). The hyperplanes are generated from a fixed seed and
+inlined as literals into BOTH engines' expressions (oracle.sqlgen emits the
+same coefficients), so bucket assignments are bit-identical.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 SCORE_DECIMALS = 5
+
+#: default LSH geometry: 16 bits × 2 tables ⇒ 65536 buckets per table at a
+#: 64-dim embedding — bucket count scales 2^n_bits, configurable per corpus
+LSH_BITS = 16
+LSH_TABLES = 2
+LSH_SEED = 42
 
 
 def _dot(a, b):
@@ -51,7 +64,14 @@ def cosine_topk(
 ) -> DataFrame:
     """(query_id, rank, vec_id, cosine): exact top-k cosine neighbors of each
     probe vector (self excluded). Probes are broadcast; ties broken by
-    vec_id asc on the ROUNDED score so ranking is float-order independent."""
+    vec_id asc on the ROUNDED score so ranking is float-order independent.
+
+    Scale shape: stage 1 takes the top-k WITHIN each scan partition
+    (shuffle key (query_id, partition) — parallelism × |probes| groups);
+    stage 2 merges ≤ partitions×k rows per probe. The merge input is tiny
+    regardless of corpus size, unlike a single Window.partitionBy(query_id)
+    which would shuffle every scored row of the corpus into one partition
+    per probe."""
     probes = F.broadcast(
         embeddings.filter(F.col(id_col).isin(probe_ids)).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -68,65 +88,124 @@ def cosine_topk(
                 / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
                 SCORE_DECIMALS,
             ).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+    order = [F.col("cosine").desc(), F.col("vec_id").asc()]
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    partial = (
+        scored.withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
     )
+    w_final = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
 
 
+def random_hyperplanes(
+    n_bits: int = LSH_BITS,
+    dim: int = 64,
+    n_tables: int = LSH_TABLES,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """(n_tables, n_bits, dim) standard-normal hyperplanes from a fixed seed
+    — data-independent and reproducible on any engine (the oracle inlines
+    the same numbers). Rounded to 6 decimals so the SQL literal text and the
+    float64 value are identical."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).round(6)
+
+
+def _bucket_col(vec_col: str, planes: np.ndarray):
+    """Σ 2^i·[⟨v, h_i⟩ > 0] for one table's (n_bits, dim) planes. The dot
+    product is an explicit left-to-right sum of v[j]·c_j literals — the
+    exact order the oracle SQL evaluates, so the sign test is bit-identical
+    across engines."""
+    bucket = None
+    for i, plane in enumerate(planes):
+        dot = None
+        for j, c in enumerate(plane):
+            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(
+                float(c)
+            )
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def lsh_sign_buckets(
     embeddings: DataFrame,
-    n_bits: int = 8,
+    n_bits: int = LSH_BITS,
+    n_tables: int = LSH_TABLES,
+    seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket): sign-bit LSH over the first ``n_bits`` coordinates
-    (a fixed, data-independent projection — deterministic and portable).
-    bucket = Σ 2^i·[v_i > 0]."""
-    bucket = None
-    for i in range(n_bits):
-        bit = F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
+    """(vec_id, lsh_table, bucket): seeded random-hyperplane LSH over the full
+    vector (Charikar sign-random-projection), ``n_tables`` independent
+    tables. P[same bucket] = (1 − θ/π)^n_bits per table — n_bits trades
+    recall vs bucket size, n_tables recovers recall."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_hyperplanes(n_bits, dim, n_tables, seed)
+    tables = [
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(t).alias("lsh_table"),
+            _bucket_col(vec_col, planes[t]).alias("bucket"),
         )
-        bucket = bit if bucket is None else bucket + bit
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
-    )
+        for t in range(n_tables)
+    ]
+    out = tables[0]
+    for extra in tables[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def lsh_bucket_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
-    n_bits: int = 8,
+    n_bits: int = LSH_BITS,
+    n_tables: int = LSH_TABLES,
+    seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cosine): near-neighbor candidate pairs from shared LSH bucket,
-    verified by exact cosine ≥ threshold. The join key is the bucket — the
-    only shuffle; no all-pairs stage exists."""
-    with_bucket = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-    ).join(lsh_sign_buckets(embeddings, n_bits, id_col, vec_col), "vec_id")
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
+    """(a, b, cosine): near-neighbor pairs (a = the bucket's canonical =
+    min vec_id, a < b), star-paired within each (table, bucket), deduped
+    across tables, verified by exact cosine ≥ threshold.
+
+    Star-pairing is the hot-bucket guard: a bucket of m vectors emits m−1
+    pairs (pair count is O(n) corpus-wide), so identical/boilerplate
+    embeddings cannot blow up the verify join — the same skewed-key
+    discipline as dedup.ngram_jaccard_pairs' max_shingle_df. Duplicate
+    groups stay connected through their canonical member."""
+    buckets = lsh_sign_buckets(
+        embeddings, n_bits, n_tables, seed, id_col, vec_col
+    )
+    w = Window.partitionBy("lsh_table", "bucket")
+    cand = (
+        buckets.withColumn("_canon", F.min("vec_id").over(w))
+        .filter(F.col("vec_id") != F.col("_canon"))
+        .select(F.col("_canon").alias("a"), F.col("vec_id").alias("b"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(vecs.withColumnRenamed("_vid", "a").withColumnRenamed("_vec", "_va"), "a")
+        .join(vecs.withColumnRenamed("_vid", "b").withColumnRenamed("_vec", "_vb"), "b")
         .select(
-            F.col("a.vec_id").alias("a"),
-            F.col("b.vec_id").alias("b"),
+            "a",
+            "b",
             F.round(
-                _dot(F.col("a.vec"), F.col("b.vec"))
-                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
                 SCORE_DECIMALS,
             ).alias("cosine"),
         )

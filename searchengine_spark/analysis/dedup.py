@@ -73,8 +73,12 @@ def minhash_lsh_pairs(
     documents: DataFrame, k: int = N_MINHASH, bands: int = LSH_BANDS
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b), a < b: docs agreeing on ALL rows of
-    at least one band. The n² blowup is avoided by joining on the band key;
-    the dedup of pairs found by several bands is one distinct()."""
+    at least one band, STAR-PAIRED within each band bucket — every member
+    pairs with the bucket's canonical (min doc_id) only, so a bucket of m
+    docs emits m−1 pairs, never m²/2. This is the hot-bucket guard (same
+    skewed-key discipline as ngram_jaccard_pairs' max_shingle_df): 10^6
+    identical boilerplate docs cost O(n) pairs, and duplicate groups stay
+    connected through their canonical. Cross-band dedup is one distinct()."""
     rows = k // bands
     sigs = minhash_signatures(documents, k)
     band_rows = []
@@ -90,16 +94,11 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for extra in band_rows[1:]:
         banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    w = Window.partitionBy("band", "band_key")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        banded.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("_canon"))
+        .select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
         .distinct()
     )
 

@@ -115,3 +115,53 @@ def test_multimodal_real_binary(docs):
         assert feats.loc[doc_id, "head_sum"] == sum(digest[:8])
         assert feats.loc[doc_id, "media_type"] == \
             multimodal.MEDIA_TYPES[doc_id % 3]
+
+
+def test_minhash_lsh_hot_bucket_linear(spark):
+    """1k identical docs land in one band bucket in every band; star-pairing
+    must emit O(n) pairs (n-1), not O(n²)/2 ≈ 500k."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "text": ["same boilerplate text everywhere"] * 1000,
+            "source": ["s"] * 1000,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_lsh_pairs(docs).toPandas()
+    assert len(pairs) == 999  # every doc pairs with canonical doc 0 only
+    assert set(pairs["a"]) == {0}
+
+
+def test_lsh_embedding_hot_bucket_linear(spark):
+    """1k identical embeddings share every LSH bucket; star-pairing bounds
+    candidate pairs at n-1 per bucket (O(n) total across tables)."""
+    import pandas as pd
+
+    vec = [0.1, -0.2, 0.3] * 8  # dim 24
+    pdf = pd.DataFrame({"vec_id": range(1000), "embedding": [vec] * 1000})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    pairs = ann.lsh_bucket_pairs(emb, threshold=0.5).toPandas()
+    assert len(pairs) == 999
+    assert set(pairs["a"]) == {0}
+    assert (pairs["cosine"] == 1.0).all()
+
+
+def test_lsh_buckets_seeded_and_multitable(spark):
+    """Bucket assignment is deterministic (seeded hyperplanes), covers all
+    tables, and n_bits controls the bucket-id range."""
+    import pandas as pd
+
+    rng_rows = [[(i % 7 - 3) * 0.1 + 0.01 * j for j in range(24)] for i in range(50)]
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": rng_rows})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    b1 = ann.lsh_sign_buckets(emb, n_bits=8, n_tables=2).toPandas()
+    b2 = ann.lsh_sign_buckets(emb, n_bits=8, n_tables=2).toPandas()
+    key = ["vec_id", "lsh_table"]
+    assert b1.sort_values(key).reset_index(drop=True).equals(
+        b2.sort_values(key).reset_index(drop=True)
+    )
+    assert set(b1["lsh_table"]) == {0, 1}
+    assert b1["bucket"].between(0, 255).all()
