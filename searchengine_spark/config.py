@@ -71,6 +71,14 @@ class EngineConfig:
     # validation costs no extra pass. Off → duplicates collapse to one doc.
     validate_input_keys: bool = True
 
+    # Hash-bucket count for the term-keyed tables (postings_flat, terms,
+    # terms_global): bucket = crc32(term) % n_term_buckets is the physical
+    # partition, so an incremental upsert rewrites only the touched buckets
+    # (Iceberg overwritePartitions / dynamic-partition-overwrite semantics)
+    # and term lookups prune to 1 bucket per term. None → 2·parallelism,
+    # floor 64.
+    term_buckets: int | None = None
+
     bm25: BM25Params = field(default_factory=BM25Params)
 
     # Search defaults — the reference's API defaults
@@ -97,3 +105,10 @@ class EngineConfig:
             self.max_docs_per_shard,
             max(4096, math.ceil(max(1, n_docs) / target_shards)),
         )
+
+    def n_term_buckets(self) -> int:
+        """Resolve term_buckets (physical partition count of term-keyed
+        tables)."""
+        if self.term_buckets is not None:
+            return self.term_buckets
+        return max(64, 2 * self.parallelism)

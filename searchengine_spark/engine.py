@@ -64,6 +64,9 @@ class SearchEngine:
                 transcripts=self._transcripts,
                 shard_size=int(meta["shard_size"]),
                 site_ids=site_ids,
+                term_buckets=int(meta["term_buckets"])
+                if "term_buckets" in meta
+                else None,
             )
         return self._searcher
 

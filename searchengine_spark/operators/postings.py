@@ -57,6 +57,20 @@ _TERM_ID_DOCLEN = -1
 _TERM_ID_SITE = -2
 
 
+def term_bucket_col(col, n_buckets: int):
+    """Physical partition of the term-keyed tables: crc32(term) mod n.
+    CRC32 (not xxhash64) so the DRIVER can compute the same bucket for a
+    query term via zlib.crc32 and prune partitions without a Spark job."""
+    return F.pmod(F.crc32(col), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket_col` (bit-identical)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
 def site_id_map(documents: DataFrame) -> dict[str, int]:
     """Dense site → id mapping: sorted site names. Deterministic, shared by
     the build (SITE_TERM encoding) and the searcher (site filter planning)."""
@@ -160,16 +174,28 @@ def _binary_array(data: np.ndarray, value_offsets: np.ndarray):
     )
 
 
-def make_stream_encoder(shard_size: int, block_size: int):
-    """Build the mapInArrow kernel: a stream of record batches sorted by
-    (shard, term_id, doc_id) → posting-block rows (_ENC_SCHEMA).
+def make_group_encoder(block_size: int):
+    """Build the mapInArrow kernel: record batches of
+    ``(shard, term_id, ps: list<struct<doc_id,tf,score>>)`` — one row per
+    (shard, term) group, postings pre-sorted by doc_id JVM-side
+    (``sort_array``) — → posting-block rows (_ENC_SCHEMA).
 
-    The kernel buffers rows only until a (shard, term_id) run completes, so
-    peak memory is one Arrow batch + one run (≤ min(df_in_shard,
-    docs_per_shard) postings). All per-posting work is vectorized numpy:
-    run/block boundaries from change-point scans, per-block metadata via
-    ``reduceat``, and ONE varint encode per chunk split at block offsets.
-    """
+    Why grouped lists instead of flat posting rows: Spark's row→Arrow
+    conversion costs ~0.5 µs per top-level row·field and, measured on this
+    box, does NOT scale with cores (a 130M-row 4-column mapInArrow
+    pass-through took 44 s at 8 cores and 69 s at 2 — efficiency 0.39),
+    while the same payload shipped as ~1M list<struct> rows took 17 s at 8
+    cores vs 51 s at 2 (efficiency 0.74). Fewer, wider rows move the same
+    bytes with 100× less per-row overhead. The Arrow list layout hands the
+    kernel exactly what it needs zero-copy: flat child arrays + offsets ==
+    run boundaries.
+
+    All per-posting work is vectorized numpy: block boundaries by
+    arithmetic on the list offsets, per-block metadata via ``reduceat``,
+    ONE varint encode per batch split at block offsets. Peak memory is one
+    Arrow batch; a group is ≤ min(df_in_shard, docs_per_shard) postings
+    (``EngineConfig.max_docs_per_shard`` caps it independently of corpus
+    size)."""
     import pyarrow as pa
 
     from searchengine_spark.functions.codec import varint_encode_array
@@ -189,14 +215,14 @@ def make_stream_encoder(shard_size: int, block_size: int):
         ]
     )
 
-    def encode_chunk(tid, doc, tf, score):
-        """Complete (shard, term) runs → one output RecordBatch."""
-        shard = doc // shard_size
-        chg = np.flatnonzero((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])) + 1
-        run_starts = np.concatenate(([0], chg))
-        run_ends = np.concatenate((chg, [len(tid)]))
+    def encode_batch(shard_rows, tid_rows, off, doc, tf, score):
+        """One batch of complete (shard, term) groups → one RecordBatch.
+        ``off`` (len n_groups+1, zero-based) are the run boundaries into the
+        flat ``doc``/``tf``/``score`` arrays — straight from the Arrow list
+        offsets, so runs tile [0, len) contiguously."""
+        run_starts, run_ends = off[:-1], off[1:]
         run_lens = run_ends - run_starts
-        nblocks = -(-run_lens // block_size)  # ceil
+        nblocks = -(-run_lens // block_size)  # ceil; lists are non-empty
         total = int(nblocks.sum())
         run_of_block = np.repeat(np.arange(len(run_lens)), nblocks)
         first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
@@ -204,7 +230,7 @@ def make_stream_encoder(shard_size: int, block_size: int):
         bstart = run_starts[run_of_block] + block_idx * block_size
         bend = np.minimum(bstart + block_size, run_ends[run_of_block])
         # doc-id gaps, absolute at every block start (run starts included —
-        # a run's first block starts the run); blocks tile the chunk
+        # a run's first block starts the run); blocks tile the batch
         # contiguously, so bstart partitions the whole array for reduceat
         gaps = np.empty_like(doc)
         gaps[1:] = doc[1:] - doc[:-1]
@@ -214,8 +240,8 @@ def make_stream_encoder(shard_size: int, block_size: int):
         cut = np.concatenate((bstart, [len(doc)]))
         return pa.RecordBatch.from_arrays(
             [
-                pa.array(tid[bstart], pa.int64()),
-                pa.array(shard[bstart], pa.int64()),
+                pa.array(tid_rows[run_of_block], pa.int64()),
+                pa.array(shard_rows[run_of_block], pa.int64()),
                 pa.array(block_idx.astype(np.int32), pa.int32()),
                 pa.array(doc[bstart], pa.int64()),
                 pa.array(doc[bend - 1], pa.int64()),
@@ -230,35 +256,31 @@ def make_stream_encoder(shard_size: int, block_size: int):
             schema=fields,
         )
 
-    def encode_stream(batches):
-        pend = None  # (tid, doc, tf, score) of the trailing incomplete run
+    def encode_groups(batches):
         for batch in batches:
-            tid = batch.column("term_id").to_numpy(zero_copy_only=False)
-            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            tf = batch.column("tf").to_numpy(zero_copy_only=False)
-            score = batch.column("score").to_numpy(zero_copy_only=False)
-            if pend is not None:
-                tid = np.concatenate((pend[0], tid))
-                doc = np.concatenate((pend[1], doc))
-                tf = np.concatenate((pend[2], tf))
-                score = np.concatenate((pend[3], score))
-            if len(tid) == 0:
-                pend = None
+            if batch.num_rows == 0:
                 continue
-            shard = doc // shard_size
-            chg = np.flatnonzero(
-                (tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])
+            shard_rows = batch.column("shard").to_numpy(zero_copy_only=False)
+            tid_rows = batch.column("term_id").to_numpy(zero_copy_only=False)
+            ps = batch.column("ps")
+            raw_off = ps.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = ps.values
+            doc = vals.field("doc_id").to_numpy(zero_copy_only=False)
+            tf = vals.field("tf").to_numpy(zero_copy_only=False)
+            score = vals.field("score").to_numpy(zero_copy_only=False)
+            # a sliced ListArray's offsets index into the un-sliced child:
+            # normalize to zero-based and trim the child arrays
+            base, end = int(raw_off[0]), int(raw_off[-1])
+            yield encode_batch(
+                shard_rows,
+                tid_rows,
+                raw_off - base,
+                doc[base:end],
+                tf[base:end],
+                score[base:end],
             )
-            if chg.size:
-                cut = int(chg[-1]) + 1  # last run boundary: emit [0, cut)
-                yield encode_chunk(tid[:cut], doc[:cut], tf[:cut], score[:cut])
-                pend = (tid[cut:], doc[cut:], tf[cut:], score[cut:])
-            else:
-                pend = (tid, doc, tf, score)
-        if pend is not None and len(pend[0]):
-            yield encode_chunk(*pend)
 
-    return encode_stream
+    return encode_groups
 
 
 def encode_posting_blocks(
@@ -281,13 +303,16 @@ def encode_posting_blocks(
     Physical plan (the stage the 2-vs-8-core efficiency hinges on):
     1. dense int ``term_id`` per term (two-pass range assign over the
        vocabulary-sized terms table — NOT the postings);
-    2. join ids+idf onto flat postings, compute the BM25 score, shuffle
-       (term_id, doc_id, tf, score) hashed by doc-range shard — ~24 B/row
-       vs ~44 with the term string and a materialized shard column
-       (shard is re-derived from doc_id on both sides of the exchange);
-    3. ``sortWithinPartitions(shard, term_id, doc_id)`` — JVM radix-ish
-       sort, replacing the old per-group pandas object sort;
-    4. streaming ``mapInArrow`` block encode (:func:`make_stream_encoder`);
+    2. join ids+idf onto flat postings, compute the BM25 score — the
+       shuffle then carries (term_id, doc_id, tf, score), ~28 B/row vs ~44
+       with the term string;
+    3. ``groupBy(shard, term_id).agg(sort_array(collect_list(struct(...))))``
+       — groups are sorted by doc_id JVM-side and cross the Python boundary
+       as ~1/avg-run-length as many top-level rows (list<struct> layout);
+       Spark's per-row Arrow conversion overhead is the measured scaling
+       bottleneck of this stage, see :func:`make_group_encoder`;
+    4. ``mapInArrow`` block encode (:func:`make_group_encoder`) — fully
+       vectorized over the batch's flat child arrays;
     5. join the block rows (1/block_size the posting count) back to term
        strings — AQE broadcasts the dictionary at small vocab, SMJ at 10^9.
 
@@ -351,11 +376,15 @@ def encode_posting_blocks(
         scored = scored.unionByName(doclen_rows).unionByName(site_rows)
 
     shard_col = (F.col("doc_id") / F.lit(shard_size)).cast("long")
-    stream = scored.repartition(cfg.parallelism, shard_col).sortWithinPartitions(
-        shard_col, "term_id", "doc_id"
+    grouped = scored.groupBy(
+        shard_col.alias("shard"), F.col("term_id")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "score"))
+        ).alias("ps")
     )
-    encoded = stream.mapInArrow(
-        make_stream_encoder(shard_size, cfg.block_size), _ENC_SCHEMA
+    encoded = grouped.mapInArrow(
+        make_group_encoder(cfg.block_size), _ENC_SCHEMA
     )
 
     dict_df = global_stats.select("term_id", "term").unionByName(

@@ -341,12 +341,16 @@ class BlockSearcher:
         transcripts: DataFrame | None = None,
         shard_size: int | None = None,
         site_ids: dict[str, int] | None = None,
+        term_buckets: int | None = None,
     ):
         self.blocks = blocks
         self.documents = documents
         self.terms = terms
         self.cfg = cfg or EngineConfig()
         self.transcripts = transcripts
+        # bucket count of the term-partitioned tables (index_meta): lets the
+        # term-stats lookup prune to the query terms' partitions
+        self.term_buckets = term_buckets if "bucket" in terms.columns else None
         row = documents.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).collect()[0]
@@ -384,8 +388,17 @@ class BlockSearcher:
         tl = sorted(lemmas)
         missing = [t for t in tl if t not in self._term_stats_cache]
         if missing:
+            scan = self.terms
+            if self.term_buckets:
+                # partition pruning: a term lives in exactly one bucket dir
+                from searchengine_spark.operators.postings import term_bucket_py
+
+                bks = sorted(
+                    {term_bucket_py(t, self.term_buckets) for t in missing}
+                )
+                scan = scan.filter(F.col("bucket").isin(bks))
             fetched = (
-                self.terms.filter(F.col("term").isin(missing))
+                scan.filter(F.col("term").isin(missing))
                 .select("term", "site", "df")
                 .collect()
             )

@@ -201,9 +201,21 @@ def build_index(
         # global ids.
         id_side = F.broadcast(ids) if n_ids <= cfg.broadcast_ids_max else ids
         joined = rows.join(id_side, ["conv_id", "turn_idx"])
+        # physical layout for incremental upserts (M1): postings_flat is
+        # PARTITIONED by the term hash bucket, documents by doc-range shard
+        # — an upsert then rewrites only the touched partitions
+        # (catalog.replace_partitions), never the whole table
+        nb = cfg.n_term_buckets()
+        shard_size = cfg.shard_size(n_ids)
+        from searchengine_spark.operators.postings import term_bucket_col
+
+        flat_b = flat_postings(joined).withColumn(
+            "bucket", term_bucket_col(F.col("term"), nb)
+        )
         cat.write(
-            flat_postings(joined).repartition(cfg.parallelism, "term"),
+            flat_b.repartition(cfg.parallelism, "bucket"),
             "postings_flat",
+            partition_by=["bucket"],
             sort_by=["term", "doc_id"],
         )
         # documents = every eligible turn (incl. zero-lemma ones, absent
@@ -219,8 +231,16 @@ def build_index(
             .join(doc_len, "doc_id", "left")
             .fillna(0, subset=["doc_len"])
             .select("doc_id", "conv_id", "turn_idx", "site", "doc_len")
+            .withColumn(
+                "shard", (F.col("doc_id") / F.lit(shard_size)).cast("long")
+            )
         )
-        cat.write(docs, "documents", sort_by=["doc_id"])
+        cat.write(
+            docs.repartition(cfg.parallelism, "shard"),
+            "documents",
+            partition_by=["shard"],
+            sort_by=["doc_id"],
+        )
         ids.unpersist()
         d = cat.read("documents")
         lineage = (
@@ -245,13 +265,29 @@ def build_index(
         # stats roll up from the WRITTEN per-site table (vocabulary-sized
         # input — Σ_site df == global df since a doc has exactly one site),
         # so the posting-sized agg never runs twice.
-        from searchengine_spark.operators.postings import global_term_stats
+        from searchengine_spark.operators.postings import (
+            global_term_stats,
+            term_bucket_col,
+        )
 
+        nb = cfg.n_term_buckets()
         flat = cat.read("postings_flat")
-        cat.write(term_stats(flat), "terms", sort_by=["term"])
+        per_site = term_stats(flat).withColumn(
+            "bucket", term_bucket_col(F.col("term"), nb)
+        )
         cat.write(
-            global_term_stats(cat.read("terms"), res.n_docs, cfg.parallelism),
+            per_site.repartition(cfg.parallelism, "bucket"),
+            "terms",
+            partition_by=["bucket"],
+            sort_by=["term"],
+        )
+        g = global_term_stats(
+            cat.read("terms"), res.n_docs, cfg.parallelism
+        ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
+        cat.write(
+            g.repartition(cfg.parallelism, "bucket"),
             "terms_global",
+            partition_by=["bucket"],
             sort_by=["term"],
         )
         n_terms = cat.read("terms_global").count()
@@ -274,7 +310,18 @@ def build_index(
             flat, res.n_docs, res.avgdl, cat.read("terms_global"), cfg,
             documents=documents, site_ids=sids,
         )
-        cat.write(blocks, "postings", sort_by=["term", "shard"])
+        # PARTITIONED by doc-range shard: the incremental path rewrites one
+        # shard's directory, and a site/doc-range-scoped query could prune
+        # whole partitions. The encode exchange is hashed on (shard, term),
+        # which scatters a shard's blocks across tasks — re-cluster the
+        # (small, 1/block_size-sized) block rows by shard first so each
+        # task writes only its own few shard dirs, not shards×tasks files
+        cat.write(
+            blocks.repartition(cfg.parallelism, "shard"),
+            "postings",
+            partition_by=["shard"],
+            sort_by=["term"],
+        )
         # freeze the shard geometry: incremental updates and the searcher
         # must use the build-time shard size, not one re-derived from a
         # drifting n_docs (doc-range shards are physical layout)
@@ -283,6 +330,7 @@ def build_index(
                 ("shard_size", float(cfg.shard_size(res.n_docs))),
                 ("block_size", float(cfg.block_size)),
                 ("built_n_docs", float(res.n_docs)),
+                ("term_buckets", float(cfg.n_term_buckets())),
             ],
             "key string, value double",
         )

@@ -32,10 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 64k-row Arrow batches: the block encoder (mapInArrow) and the
-        # lemmatizer amortize per-batch Python/Arrow overhead; rows are
-        # skinny at those points so batch memory stays in the tens of MB
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 10k-row Arrow batches: the block encoder's rows are list<struct>
+        # groups (~100+ postings each), so 10k rows ≈ 25-30 MB per batch;
+        # larger batches measurably hurt the 2-core lemmatize stage (GC
+        # pressure on map-typed columns at small heaps)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # split big parquet inputs finer so scans (and the UDFs directly
         # above them) parallelize even on few-file inputs
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))

@@ -96,6 +96,49 @@ class TableCatalog:
         shutil.rmtree(final, ignore_errors=True)
         shutil.move(tmp, final)
 
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_col: str,
+        partition_values: list,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Replace EXACTLY the named partitions of a partitioned table with
+        ``df``'s content (Iceberg ``overwritePartitions`` semantics — the
+        M1 incremental-upsert primitive; ``IndexingThread.java:199-224``
+        deletes+reinserts one page's rows, here one partition's files).
+
+        Every partition in ``partition_values`` is removed; partitions of
+        that list present in ``df`` are rewritten; untouched partitions'
+        files are NEVER rewritten (asserted byte-identical by
+        ``test_incremental_partition_stability``). ``df`` must contain only
+        rows belonging to the named partitions. Parquet backend: write to a
+        temp dir first (the inputs may read the very files being replaced),
+        then swap per partition directory.
+        """
+        if self.iceberg_catalog:
+            # snapshot isolation makes read-your-own-overwrite safe
+            w = df.writeTo(self._ident(name))
+            w.overwritePartitions()
+            return
+        import shutil
+
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        tmp = self.path(f"{name}__ptmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        final = self.path(name)
+        for v in partition_values:
+            sub = f"{partition_col}={v}"
+            dst = os.path.join(final, sub)
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(tmp, sub)
+            if os.path.isdir(src):  # absent → partition is now empty
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
