@@ -7,8 +7,14 @@ minimizing the maximum deviation to the closest position of every other
 query lemma (:172-214); emit a ~40-word window (:218) with matched lemma
 occurrences wrapped in ``<b>…</b>`` (:276-277).
 
-Divergences (documented): one window per hit (the reference may join several
-windows with " ... "); title is synthesized as ``conv_id#turn_idx`` since
+Multi-window (``LemmaSearcherImpl.java:121-125,216-233``): when the chosen
+lemma positions span more than ~``window`` words, the reference emits one
+shrunken window per distant position and joins them with ``" ... "`` in
+document order; this module reproduces that semantics (windows of
+``window/k`` words around each chosen position, overlapping windows merged)
+without transliterating the reference's backwards-concat loop.
+
+Divergence (documented): title is synthesized as ``conv_id#turn_idx`` since
 transcript turns have no HTML ``<title>`` (P3, ``SearchServiceImpl.java:176``).
 
 Runs post-top-k only — over ≤ `limit` rows, never corpus-wide (the
@@ -32,8 +38,10 @@ def make_title(conv_id: str, turn_idx: int) -> str:
 
 
 def make_snippet(text: str, query_lemmas: set[str], window: int = SNIPPET_WINDOW) -> str:
-    """Build one highlighted ~`window`-word snippet around the best cluster
-    of query-lemma occurrences."""
+    """Build the highlighted snippet: windows around the chosen query-lemma
+    positions, several parts joined by ``" ... "`` when the positions span
+    more than ``window`` words (multi-window, ``LemmaSearcherImpl.java:
+    121-125``)."""
     if not text:
         return ""
     tokens = list(_TOKEN_RE.finditer(text))
@@ -45,7 +53,7 @@ def make_snippet(text: str, query_lemmas: set[str], window: int = SNIPPET_WINDOW
         for lem in ls & query_lemmas:
             positions.setdefault(lem, []).append(i)
     if not positions:
-        center = 0
+        chosen = [0]
     else:
         # P1: rarest present lemma (fewest occurrences; tie → lemma asc)
         rarest = min(positions, key=lambda l: (len(positions[l]), l))
@@ -58,23 +66,45 @@ def make_snippet(text: str, query_lemmas: set[str], window: int = SNIPPET_WINDOW
             )
             if dev < best_dev:
                 best_pos, best_dev = p, dev
-        center = best_pos
-    start = max(0, center - window // 2)
-    end = min(len(tokens), start + window)
-    # P2: reconstruct from the original text span, bolding matched tokens
-    span_start = tokens[start].start()
-    span_end = tokens[end - 1].end()
-    out: list[str] = []
-    cursor = span_start
-    for i in range(start, end):
-        m = tokens[i]
-        out.append(text[cursor : m.start()])
-        if tok_lemmas[i] & query_lemmas:
-            out.append(f"<b>{m.group()}</b>")
-        else:
-            out.append(m.group())
-        cursor = m.end()
-    snippet = "".join(out)
-    prefix = "... " if start > 0 else ""
-    suffix = " ..." if end < len(tokens) else ""
-    return f"{prefix}{snippet}{suffix}"
+        # snippet indices = rare position + each other lemma's closest
+        # position to it (findClosestLemmaIndices,
+        # LemmaSearcherImpl.java:172-214)
+        chosen = sorted(
+            {best_pos}
+            | {min(positions[o], key=lambda q: abs(q - best_pos)) for o in others}
+        )
+
+    # window intervals (token index ranges, end-exclusive): one ~window-word
+    # span when the chosen positions cluster, else a ~window/k-word part per
+    # distant position, overlapping parts merged (getSnippetParts semantics)
+    if chosen[-1] - chosen[0] <= window:
+        half = max(0, (window - (chosen[-1] - chosen[0])) // 2)
+        intervals = [(max(0, chosen[0] - half), min(len(tokens), chosen[-1] + half + 1))]
+    else:
+        half = max(1, window // len(chosen) // 2)
+        intervals = []
+        for c in chosen:
+            lo, hi = max(0, c - half), min(len(tokens), c + half + 1)
+            if intervals and lo <= intervals[-1][1]:
+                intervals[-1] = (intervals[-1][0], hi)  # merge overlap
+            else:
+                intervals.append((lo, hi))
+
+    def render(start: int, end: int) -> str:
+        # P2: reconstruct from the original text span, bolding matched tokens
+        out: list[str] = []
+        cursor = tokens[start].start()
+        for i in range(start, end):
+            m = tokens[i]
+            out.append(text[cursor : m.start()])
+            if tok_lemmas[i] & query_lemmas:
+                out.append(f"<b>{m.group()}</b>")
+            else:
+                out.append(m.group())
+            cursor = m.end()
+        return "".join(out)
+
+    body = " ... ".join(render(s, e) for s, e in intervals)
+    prefix = "... " if intervals[0][0] > 0 else ""
+    suffix = " ..." if intervals[-1][1] < len(tokens) else ""
+    return f"{prefix}{body}{suffix}"

@@ -34,8 +34,13 @@ class TableCatalog:
             self.iceberg_catalog = os.environ.get("SEARCHENGINE_ICEBERG_CATALOG")
 
     def _iceberg_available(self) -> bool:
+        # NB: plain `_jvm.org.apache.iceberg.Schema` is NOT a valid check —
+        # py4j returns a truthy JavaPackage for any missing class; only
+        # Class.forName actually consults the classpath
         try:
-            self.spark._jvm.org.apache.iceberg.Schema  # type: ignore[union-attr]
+            self.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.Schema"
+            )
             return True
         except Exception:
             return False

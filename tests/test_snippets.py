@@ -47,3 +47,28 @@ def test_snippet_empty_cases():
     # no query lemma present → window from document start, no bolding
     snip = make_snippet("plain words here", {"absent"})
     assert "<b>" not in snip and "plain" in snip
+
+
+def test_snippet_multi_window_joined_with_ellipsis():
+    """Distant matched lemmas yield several windows joined by ' ... '
+    (LemmaSearcherImpl.java:121-125 multi-part snippets)."""
+    text = (
+        "alphaword shared one two three "
+        + " ".join(f"f{i:03d}" for i in range(100))
+        + " betaword shared tail"
+    )
+    snip = make_snippet(text, {"alphaword", "betaword"}, window=40)
+    assert "<b>alphaword</b>" in snip
+    assert "<b>betaword</b>" in snip
+    assert " ... " in snip
+    # the filler middle is NOT materialized wholesale
+    assert len(snip.split()) < 60
+
+
+def test_snippet_single_window_when_clustered():
+    text = "start alphaword mid betaword end " + " ".join(
+        f"f{i}" for i in range(100)
+    )
+    snip = make_snippet(text, {"alphaword", "betaword"}, window=40)
+    assert "<b>alphaword</b>" in snip and "<b>betaword</b>" in snip
+    assert " ... " not in snip.strip(" ...")
