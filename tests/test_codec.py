@@ -69,3 +69,44 @@ def test_varint_large_array_compresses():
     ids = np.arange(10_000, dtype=np.int64)
     enc = encode_postings(ids)
     assert len(enc) == 10_000  # 1 absolute (gap 0 → 1 byte) + 9999 gap-1 bytes
+
+
+def test_group_encoder_sliced_list_array():
+    """make_group_encoder must honor Arrow list offsets even on SLICED
+    batches (offsets then index into the un-sliced child array)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_spark.functions.codec import varint_decode
+    from searchengine_spark.operators.postings import make_group_encoder
+
+    ps_type = pa.list_(
+        pa.struct(
+            [("doc_id", pa.int64()), ("tf", pa.int32()), ("score", pa.float64())]
+        )
+    )
+    rows = [
+        [(5, 2, 0.5), (9, 1, 0.25)],
+        [(1, 3, 1.0), (2, 1, 0.1), (300, 7, 2.0)],
+        [(4, 1, 0.9)],
+    ]
+    ps = pa.array(
+        [[{"doc_id": d, "tf": t, "score": s} for d, t, s in r] for r in rows],
+        type=ps_type,
+    )
+    shard = pa.array([0, 0, 1], pa.int64())
+    tid = pa.array([7, 8, 7], pa.int64())
+    batch = pa.record_batch([shard, tid, ps], names=["shard", "term_id", "ps"])
+    sliced = batch.slice(1, 2)  # offsets base != 0
+    enc = make_group_encoder(block_size=2)
+    out = pa.Table.from_batches(list(enc(iter([sliced])))).to_pydict()
+    # group (0, 8): 3 postings → 2 blocks of sizes 2,1; group (1, 7): 1 block
+    assert out["count"] == [2, 1, 1]
+    assert out["min_doc"] == [1, 300, 4]
+    assert out["max_doc"] == [2, 300, 4]
+    assert out["block_max_tf"] == [3, 7, 1]
+    # gaps: absolute at block start
+    g0 = varint_decode(out["doc_gaps"][0])
+    assert list(g0) == [1, 1]  # doc 1 absolute, then gap 1 → doc 2
+    g1 = varint_decode(out["doc_gaps"][1])
+    assert list(g1) == [300]
