@@ -56,6 +56,7 @@ EMBED_TAU = 0.1
 # need coarser buckets to produce a meaningful candidate set; production
 # keeps 16+ bits so bucket count scales with the corpus
 ENTRY_LSH_BITS = 8
+IVF_CENTROIDS, IVF_NPROBE = 16, 4
 
 _WORD_SPLIT = "[^A-Za-zА-ЯЁа-яё]+"
 
@@ -274,6 +275,17 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: probes scan only their nprobe nearest
+    centroids' inverted lists (the ANN scale path beside LSH)."""
+    return ann.ivf_topk(
+        _embeddings(spark, sf_dir), ANN_PROBES, k=ANN_K,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Seeded random-hyperplane LSH bucket histogram (n_bits × n_tables)."""
     return (
@@ -352,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_fingerprint": q_fingerprint,
         "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
         "q_lsh_buckets": q_lsh_buckets,
         "q_embed_neardup": q_embed_neardup,
         "q_lang_id": q_lang_id,
@@ -652,6 +665,67 @@ select query_id, cast(rank as bigint) as rank, vec_id, cosine from (
          row_number() over (partition by query_id
                             order by cosine desc, vec_id) as rank
   from cos
+) where rank <= {ANN_K}
+""",
+        "q_ann_ivf": f"""
+with {_EFLAT},
+cents as (
+  select vec_id as cid from embeddings
+  order by md5(cast(vec_id as varchar)), vec_id limit {IVF_CENTROIDS}
+),
+cdots as (
+  select f.vec_id, c.cid, sum(cast(f.v as double) * cast(cf.v as double)) as dot
+  from flat f
+  cross join cents c
+  join flat cf on cf.vec_id = c.cid and cf.i = f.i
+  group by f.vec_id, c.cid
+),
+ccos as (
+  select d.vec_id, d.cid, d.dot / (na.nrm * nb.nrm) as rcos
+  from cdots d
+  join norms na on na.vec_id = d.vec_id
+  join norms nb on nb.vec_id = d.cid
+),
+assign as (
+  select vec_id, cid from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id
+                              order by round(-rcos, {ann.SCORE_DECIMALS}), cid) as r
+    from ccos
+  ) where r = 1
+),
+pc as (
+  select query_id, cid from (
+    select vec_id as query_id, cid,
+           row_number() over (partition by vec_id
+                              order by round(rcos, {ann.SCORE_DECIMALS}) desc, cid) as r
+    from ccos where vec_id in ({", ".join(map(str, ANN_PROBES))})
+  ) where r <= {IVF_NPROBE}
+),
+cand as (
+  select pc.query_id, a.vec_id
+  from assign a join pc on a.cid = pc.cid
+  where a.vec_id <> pc.query_id
+),
+fdots as (
+  select c.query_id, c.vec_id, sum(cast(fa.v as double) * cast(fb.v as double)) as dot
+  from cand c
+  join flat fa on fa.vec_id = c.vec_id
+  join flat fb on fb.vec_id = c.query_id and fb.i = fa.i
+  group by c.query_id, c.vec_id
+),
+fcos as (
+  select d.query_id, d.vec_id,
+         round(d.dot / (na.nrm * nb.nrm), {ann.SCORE_DECIMALS}) as cosine
+  from fdots d
+  join norms na on na.vec_id = d.vec_id
+  join norms nb on nb.vec_id = d.query_id
+)
+select query_id, cast(rank as bigint) as rank, vec_id, cosine from (
+  select query_id, vec_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, vec_id) as rank
+  from fcos
 ) where rank <= {ANN_K}
 """,
         "q_lsh_buckets": f"""

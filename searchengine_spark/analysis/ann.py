@@ -166,6 +166,137 @@ def lsh_sign_buckets(
     return out
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec): deterministic pseudo-random coarse quantizer — the
+    ``n_centroids`` vectors ranked first by md5(vec_id) (a seeded sample
+    both engines can reproduce; a production deployment would k-means these,
+    which is a refinement of the same plan shape). ``limit`` compiles to
+    distributed TakeOrderedAndProject — no global sort materializes."""
+    return (
+        embeddings.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid): each vector's nearest centroid by cosine (IVF inverted
+    list assignment). The centroid table is broadcast (k × dim floats);
+    argmin is a min(struct(rounded -cos, cid)) aggregate — deterministic
+    under ties, shuffle key = vec_id with map-side partial min."""
+    cents = F.broadcast(ivf_centroids(embeddings, n_centroids, id_col, vec_col))
+    scored = embeddings.crossJoin(cents).select(
+        F.col(id_col).alias("vec_id"),
+        F.struct(
+            F.round(
+                -_dot(F.col(vec_col), F.col("cvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+                SCORE_DECIMALS,
+            ).alias("negcos"),
+            F.col("cid").alias("cid"),
+        ).alias("key"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("key").alias("key"))
+        .select("vec_id", F.col("key.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): IVF approximate top-k — each probe
+    scans only the inverted lists of its ``nprobe`` nearest centroids
+    (~nprobe/n_centroids of the corpus), then exact cosine + per-partition
+    partial top-k + merge, same merge shape as :func:`cosine_topk`.
+
+    Scale path: the corpus-side work is one broadcast-assign pass plus a
+    hash join on cid — no corpus-wide window, no n² stage; recall is tuned
+    by (n_centroids, nprobe)."""
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cents = F.broadcast(ivf_centroids(embeddings, n_centroids, id_col, vec_col))
+    probes = F.broadcast(
+        embeddings.filter(F.col(id_col).isin(probe_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    probe_cents = (
+        probes.crossJoin(cents)
+        .select(
+            "query_id",
+            "cid",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                SCORE_DECIMALS,
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cid")
+    )
+    cand = assign.join(F.broadcast(probe_cents), "cid").select(
+        "query_id", "vec_id"
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(probes, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("_v"), F.col("qvec"))
+                / (_norm(F.col("_v")) * _norm(F.col("qvec"))),
+                SCORE_DECIMALS,
+            ).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col("vec_id").asc()]
+    partial = (
+        scored.withColumn(
+            "_r", F.row_number().over(Window.partitionBy("query_id", "_pid").orderBy(*order))
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    return (
+        partial.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("query_id").orderBy(*order))
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def lsh_bucket_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,

@@ -220,7 +220,8 @@ def build_index(
         )
         # documents = every eligible turn (incl. zero-lemma ones, absent
         # from postings_flat) + its doc_len read back from the written flat
-        # table — avoids a second lemmatizer pass just for doc metadata.
+        # table — avoids a second lemmatizer pass just for doc metadata
+        # (single consumer action → the posting-table agg runs exactly once).
         doc_len = (
             cat.read("postings_flat")
             .groupBy("doc_id")

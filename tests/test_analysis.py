@@ -165,3 +165,33 @@ def test_lsh_buckets_seeded_and_multitable(spark):
     )
     assert set(b1["lsh_table"]) == {0, 1}
     assert b1["bucket"].between(0, 255).all()
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF top-k: deterministic centroids, candidates only from probed
+    inverted lists, high recall vs exact top-k on a clustered fixture."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = [
+        (centers[i % 4] + rng.standard_normal(16) * 0.2).astype("float32").tolist()
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": vecs}),
+        "vec_id long, embedding array<float>",
+    )
+    exact = ann.cosine_topk(emb, [0, 1], k=5).toPandas()
+    approx = ann.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=4).toPandas()
+    assert len(approx) == 10
+    assert set(approx["query_id"]) == {0, 1}
+    # clustered data + nprobe=half the centroids → recall should be high
+    for q in (0, 1):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert len(e & a) >= 4, (q, e, a)
+    # determinism
+    again = ann.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=4).toPandas()
+    assert approx.equals(again)
