@@ -107,7 +107,11 @@ def main() -> None:
     fixture = "bench"
     if "--fixture" in sys.argv:
         fixture = sys.argv[sys.argv.index("--fixture") + 1]
-    lo, hi = 2, 8  # N and 4N; see BENCH/BASELINE.md for the saturation sweep
+    # N=1 vs 4N=4 is the headline pair: it stays below this box's ~8-10-core
+    # memory/disk saturation knee (BENCH/BASELINE.md), so it estimates the
+    # real N→4N executor scale-up where each executor brings its own
+    # bandwidth; run --cores 2,8 for the saturation-regime secondary pair
+    lo, hi = 1, 4
     if "--cores" in sys.argv:
         lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cores") + 1].split(","))
     fixture_path = ensure_fixture(fixture)
@@ -153,7 +157,9 @@ Raw child outputs:
 {json.dumps({'cores8': r8, 'cores32': r32}, indent=2)}
 ```
 """
-    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BASELINE.md is the curated analysis (multiple pairs + saturation
+    # context); raw per-run reports go to their own file
+    out_md = os.path.join(REPO, "BENCH", f"RUN_{lo}v{hi}_{fixture}.md")
     with open(out_md, "w") as f:
         f.write(md)
     print(json.dumps({

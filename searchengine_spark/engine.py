@@ -120,3 +120,14 @@ class SearchEngine:
         doc_id = _reindex(self.spark, self.warehouse, conv_id, turn_idx, text, self.cfg)
         self._searcher = None
         return doc_id
+
+    # ---- streaming / bulk late-data append --------------------------------------
+    def append_turns(self, transcripts: DataFrame) -> int:
+        """Append a batch of NEW turns (late data; already-indexed keys are
+        dropped). Partition-scoped writes only — see streaming/ingest.py."""
+        from searchengine_spark.streaming.ingest import append_turns as _append
+
+        n = _append(self.spark, self.warehouse, transcripts, self.cfg)
+        if n:
+            self._searcher = None
+        return n
