@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.analysis import ann, dedup, multimodal, textstats
+from searchengine_spark.analysis import ann, dedup, events, multimodal, textstats
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.oracle.sqlgen import (
     h32_sql,
@@ -345,6 +345,45 @@ def q_multimodal_binary(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Token-budget estimation under BPE-style pre-tokenization (letter /
+    digit / punctuation runs) — pure regexp built-ins, codegen'd."""
+    return textstats.bpe_token_stats(_documents(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long"),
+        F.col("n_digit_tokens").cast("long"),
+        F.col("n_punct_tokens").cast("long"),
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-hour windows per event type (the batch twin of a
+    Structured-Streaming windowed aggregation)."""
+    return events.windowed_counts(_events(spark, sf_dir), "1 hour").select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "event_type",
+        F.col("n_events").cast("long"),
+        "sum_value",
+    )
+
+
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization per user (30-minute inactivity gap)."""
+    return events.sessionize(_events(spark, sf_dir), gap_minutes=30).select(
+        "user_id",
+        F.col("session_id").cast("long"),
+        F.col("n_events").cast("long"),
+        "start_us",
+        "end_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_eligible": q_eligible,
@@ -372,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_binary": q_multimodal_binary,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_event_windows": q_event_windows,
+        "q_sessions": q_sessions,
     }
 
 
@@ -806,6 +848,49 @@ select doc_id,
             as bigint) as first_byte,
        cast({head_sum} as bigint) as head_sum
 from pl
+""",
+        "q_bpe_tokens": f"""
+select doc_id,
+       cast(len(regexp_extract_all(text, '{textstats.BPE_TOKEN}')) as bigint)
+         as n_bpe_tokens,
+       cast(len(regexp_extract_all(text, '{textstats.BPE_DIGIT}')) as bigint)
+         as n_digit_tokens,
+       cast(len(regexp_extract_all(text, '{textstats.BPE_PUNCT}')) as bigint)
+         as n_punct_tokens
+from documents where text is not null and text <> ''
+""",
+        "q_event_windows": """
+select cast(epoch_us(date_trunc('hour', ts)) as bigint) as window_start_us,
+       event_type,
+       count(*) as n_events,
+       round(sum(value), 6) as sum_value
+from events group by 1, 2
+""",
+        "q_sessions": """
+with e as (
+  select user_id, event_id, epoch_us(ts) as us from events
+),
+lagged as (
+  select user_id, event_id, us,
+         lag(us) over (partition by user_id order by us, event_id) as prev
+  from e
+),
+flags as (
+  select user_id, event_id, us,
+         case when prev is null then 0
+              when us - prev > 30 * 60 * 1000000 then 1 else 0 end as f
+  from lagged
+),
+sess as (
+  select user_id, us,
+         sum(f) over (partition by user_id order by us, event_id
+                      rows unbounded preceding) as session_id
+  from flags
+)
+select user_id, cast(session_id as bigint) as session_id,
+       count(*) as n_events,
+       min(us) as start_us, max(us) as end_us
+from sess group by user_id, session_id
 """,
         "q_multimodal_binary": f"""
 with pl as (

@@ -96,7 +96,16 @@ def main() -> None:
     timed("ann_topk", lambda: ann.cosine_topk(emb, entrymod.ANN_PROBES).count())
     timed(
         "embed_neardup",
-        lambda: ann.lsh_bucket_pairs(emb, threshold=entrymod.EMBED_TAU).count(),
+        lambda: ann.lsh_bucket_pairs(
+            emb, threshold=entrymod.EMBED_TAU, n_bits=entrymod.ENTRY_LSH_BITS
+        ).count(),
+    )
+    timed(
+        "ann_ivf",
+        lambda: ann.ivf_topk(
+            emb, entrymod.ANN_PROBES,
+            n_centroids=entrymod.IVF_CENTROIDS, nprobe=entrymod.IVF_NPROBE,
+        ).count(),
     )
 
     total = round(sum(timings.values()), 4)

@@ -121,18 +121,23 @@ def random_hyperplanes(
 
 
 def _bucket_col(vec_col: str, planes: np.ndarray):
-    """Σ 2^i·[⟨v, h_i⟩ > 0] for one table's (n_bits, dim) planes. The dot
-    product is an explicit left-to-right sum of v[j]·c_j literals — the
-    exact order the oracle SQL evaluates, so the sign test is bit-identical
-    across engines."""
+    """Σ 2^i·[⟨v, h_i⟩ > 0] for one table's (n_bits, dim) planes. Each dot
+    product is a left-to-right ``aggregate(zip_with(v, coeffs, *), +)`` fold
+    over a literal coefficient array — the same association order the oracle
+    SQL's explicit sum evaluates (seed 0.0 + t1 == t1 exactly), so the sign
+    test is bit-identical across engines; the array-literal form keeps the
+    expression tree ~2× smaller than explicit per-element sums (Catalyst
+    analysis/codegen cost grows with node count)."""
     bucket = None
     for i, plane in enumerate(planes):
-        dot = None
-        for j, c in enumerate(plane):
-            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(
-                float(c)
-            )
-            dot = term if dot is None else dot + term
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("long")

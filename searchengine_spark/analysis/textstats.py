@@ -62,6 +62,37 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer classes (GPT-2-style minus lookarounds, so Java
+#: regex (Spark) and RE2 (DuckDB) agree): letter runs, digit runs,
+#: non-space punctuation runs
+BPE_ALPHA = "[A-Za-zА-ЯЁа-яё]+"
+BPE_DIGIT = "[0-9]+"
+BPE_PUNCT = "[^A-Za-zА-ЯЁа-яё0-9\\s]+"
+BPE_TOKEN = f"{BPE_ALPHA}|{BPE_DIGIT}|{BPE_PUNCT}"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_digit_tokens, n_punct_tokens): counts under
+    a BPE-style pre-tokenization (the token-budget estimator a training-data
+    pipeline runs corpus-wide). Pure ``regexp_extract_all`` + ``size`` —
+    whole-stage codegen, no UDF, no extra shuffle."""
+    eligible = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return eligible.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_DIGIT), F.lit(0))).alias(
+            "n_digit_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PUNCT), F.lit(0))).alias(
+            "n_punct_tokens"
+        ),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: share of English function words among
     tokens; ≥ threshold → 'en', else 'und'. (The real corpus would add more

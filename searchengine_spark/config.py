@@ -106,9 +106,16 @@ class EngineConfig:
             max(4096, math.ceil(max(1, n_docs) / target_shards)),
         )
 
-    def n_term_buckets(self) -> int:
+    def n_term_buckets(self, n_docs: int | None = None) -> int:
         """Resolve term_buckets (physical partition count of term-keyed
-        tables)."""
+        tables). Scales DOWN with tiny corpora (≈1 bucket per 256 docs,
+        floor 8) so toy builds don't pay 64 directory commits per table;
+        at real scale the max(64, 2·parallelism) target dominates. The
+        resolved value is frozen into index_meta at build time — readers
+        and incremental writers never re-derive it."""
         if self.term_buckets is not None:
             return self.term_buckets
-        return max(64, 2 * self.parallelism)
+        full = max(64, 2 * self.parallelism)
+        if n_docs is None:
+            return full
+        return max(8, min(full, n_docs // 256))

@@ -205,7 +205,7 @@ def build_index(
         # PARTITIONED by the term hash bucket, documents by doc-range shard
         # — an upsert then rewrites only the touched partitions
         # (catalog.replace_partitions), never the whole table
-        nb = cfg.n_term_buckets()
+        nb = cfg.n_term_buckets(n_ids)
         shard_size = cfg.shard_size(n_ids)
         from searchengine_spark.operators.postings import term_bucket_col
 
@@ -271,7 +271,7 @@ def build_index(
             term_bucket_col,
         )
 
-        nb = cfg.n_term_buckets()
+        nb = cfg.n_term_buckets(res.n_docs)
         flat = cat.read("postings_flat")
         per_site = term_stats(flat).withColumn(
             "bucket", term_bucket_col(F.col("term"), nb)
@@ -331,7 +331,7 @@ def build_index(
                 ("shard_size", float(cfg.shard_size(res.n_docs))),
                 ("block_size", float(cfg.block_size)),
                 ("built_n_docs", float(res.n_docs)),
-                ("term_buckets", float(cfg.n_term_buckets())),
+                ("term_buckets", float(cfg.n_term_buckets(res.n_docs))),
             ],
             "key string, value double",
         )

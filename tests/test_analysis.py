@@ -195,3 +195,68 @@ def test_ivf_topk_recall_and_shape(spark):
     # determinism
     again = ann.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=4).toPandas()
     assert approx.equals(again)
+
+
+def test_event_windowed_counts(spark):
+    import pandas as pd
+
+    from searchengine_spark.analysis import events as ev
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50",
+                 "2024-01-01 01:10", "2024-01-01 00:20"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["click", "click", "view", "click"],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = ev.windowed_counts(spark.createDataFrame(pdf), "1 hour").toPandas()
+    key = out.set_index(
+        [out["window_start"].astype(str), "event_type"]
+    )["n_events"].to_dict()
+    assert key[("2024-01-01 00:00:00", "click")] == 3
+    assert key[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_event_sessionize(spark):
+    import pandas as pd
+
+    from searchengine_spark.analysis import events as ev
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10",   # session 0
+                 "2024-01-01 01:30", "2024-01-01 01:40",   # session 1 (80m gap)
+                 "2024-01-01 00:05"]                        # user 2, session 0
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": ["a"] * 5,
+            "value": [0.0] * 5,
+        }
+    )
+    out = ev.sessionize(spark.createDataFrame(pdf), gap_minutes=30).toPandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    assert list(u1["session_id"]) == [0, 1]
+    assert list(u1["n_events"]) == [2, 2]
+    assert out[out["user_id"] == 2]["n_events"].iloc[0] == 1
+
+
+def test_bpe_token_stats(spark):
+    import pandas as pd
+
+    from searchengine_spark.analysis import textstats as ts
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0], "text": ["hello world42, цена 3.14!"], "source": ["s"]}
+    )
+    out = ts.bpe_token_stats(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    # tokens: hello | world | 42 | , | цена | 3 | . | 14 | !
+    assert out["n_bpe_tokens"] == 9
+    assert out["n_digit_tokens"] == 3
+    assert out["n_punct_tokens"] == 3
