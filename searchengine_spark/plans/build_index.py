@@ -66,22 +66,22 @@ def _append_metrics(cat: TableCatalog, rows: list[tuple]) -> None:
     df.coalesce(1).write.mode("append").parquet(cat.path("metrics"))
 
 
-def _stage_done(cat: TableCatalog, stage: str, out_table: str) -> bool:
-    if not cat.exists(out_table):
-        return False
+def _done_stages(cat: TableCatalog) -> set[str]:
+    """Stages with a committed DONE marker — read ONCE per build (a
+    per-stage×per-table read was ~6 small jobs of fixed overhead)."""
+    if not cat.exists("build_state"):
+        return set()
     try:
-        done = (
-            cat.read("build_state")
-            .filter(
-                (F.col("stage") == stage)
-                & (F.col("status") == "DONE")
-                & (F.col("partition_id") == -1)
-            )
-            .count()
-        )
-        return done > 0
+        return {
+            r["stage"]
+            for r in cat.read("build_state")
+            .filter((F.col("status") == "DONE") & (F.col("partition_id") == -1))
+            .select("stage")
+            .distinct()
+            .collect()
+        }
     except Exception:
-        return False
+        return set()
 
 
 def build_index(
@@ -115,8 +115,14 @@ def build_index(
     # (FAILED is still recorded on exception).
     metric_buf: list[tuple] = []
 
+    done_stages = _done_stages(cat) if resume else set()
+
     def run_stage(stage: str, out_tables: list[str], fn) -> None:
-        if resume and all(_stage_done(cat, stage, t) for t in out_tables):
+        if (
+            resume
+            and stage in done_stages
+            and all(cat.exists(t) for t in out_tables)  # fs check, no job
+        ):
             res.stages_skipped.append(stage)
             return
         t0 = time.time()
@@ -257,8 +263,15 @@ def build_index(
     run_stage("documents", ["documents", "postings_flat"], stage_documents)
 
     documents = cat.read("documents")
-    row = documents.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    # corpus stats + the dense site map in ONE job (collect_set: site count
+    # is small by the model — a corpus grouping, not a per-doc value)
+    row = documents.agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("a"),
+        F.array_sort(F.collect_set("site")).alias("sites"),
+    ).collect()[0]
     res.n_docs, res.avgdl = int(row["n"]), float(row["a"] or 0.0)
+    site_ids = {s: i for i, s in enumerate(row["sites"])}
 
     # ---- stage 2: term dictionaries ----------------------------------------
     def stage_terms():
@@ -298,10 +311,8 @@ def build_index(
 
     # ---- stage 3: compressed posting blocks --------------------------------
     def stage_postings():
-        from searchengine_spark.operators.postings import site_id_map
-
         flat = cat.read("postings_flat")
-        sids = site_id_map(documents)
+        sids = site_ids
         cat.write(
             spark.createDataFrame(sorted(sids.items()), "site string, sid long")
             .coalesce(1),
