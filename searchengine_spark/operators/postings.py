@@ -12,19 +12,20 @@ Scale notes (10^12 turns):
 - tf is counted INSIDE the lemmatizer UDF (per-doc ``map<term,tf>``), so no
   per-occurrence row ever crosses a shuffle — the tf agg stage is gone;
   ``site``/``doc_len`` ride along as functionally-dependent columns.
-- the block-encode shuffle carries (term_id int32, doc_id int64, tf int32,
-  score f64) — terms are dictionary-encoded to dense ints BEFORE the
-  shuffle (the string column was ~40% of the bytes moved), and the shuffle
-  output is sorted JVM-side (``sortWithinPartitions``) so the Python kernel
-  receives (shard, term, doc) runs ready to slice — no pandas sort, no
-  per-group Arrow overhead (``mapInArrow`` streams record batches).
-- memory in the kernel is bounded by the Arrow batch size plus ONE
-  incomplete (term, shard) run, i.e. ≤ min(df_in_shard, docs_per_shard)
-  postings; ``EngineConfig.max_docs_per_shard`` caps that bound
-  independently of corpus size (a df≈N stopword term is still split into
-  contiguous, independently compressed doc ranges — explicit skew handling;
-  no group is ever O(df)). Shards are doc-range aligned across terms, which
-  is exactly what the query kernel partitions on.
+- the block-encode shuffle carries (term_id, doc_id, tf, score) — terms are
+  dictionary-encoded to dense ints BEFORE the shuffle (the string column
+  was ~40% of the bytes moved) — grouped as ONE ``list<struct>`` row per
+  (shard, term) via ``sort_array(collect_list(...))``: Spark's per-top-
+  level-row Arrow conversion is the measured Python-boundary bottleneck,
+  and the grouped layout crosses it with ~100× fewer rows while handing
+  the kernel sorted runs zero-copy (see :func:`make_group_encoder`).
+- memory in the kernel is bounded by one Arrow batch; a (term, shard)
+  group is ≤ min(df_in_shard, docs_per_shard) postings and
+  ``EngineConfig.max_docs_per_shard`` caps that bound independently of
+  corpus size (a df≈N stopword term is still split into contiguous,
+  independently compressed doc ranges — explicit skew handling; no group
+  is ever O(df)). Shards are doc-range aligned across terms, which is
+  exactly what the query kernel partitions on.
 """
 
 from __future__ import annotations
@@ -364,8 +365,10 @@ def encode_posting_blocks(
         # site_ids must be the CORPUS-WIDE mapping — when re-encoding a shard
         # subset (plans/incremental.py) the caller passes the global one
         sids = site_ids if site_ids is not None else site_id_map(documents)
+        from searchengine_spark.sources.catalog import tiny_df
+
         sid_df = F.broadcast(
-            spark.createDataFrame(sorted(sids.items()), "site string, _sid int")
+            tiny_df(spark, sorted(sids.items()), "site string, _sid int")
         )
         site_rows = documents.join(sid_df, "site").select(
             F.lit(_TERM_ID_SITE).cast("long").alias("term_id"),
@@ -387,8 +390,11 @@ def encode_posting_blocks(
         make_group_encoder(cfg.block_size), _ENC_SCHEMA
     )
 
+    from searchengine_spark.sources.catalog import tiny_df as _tiny
+
     dict_df = global_stats.select("term_id", "term").unionByName(
-        spark.createDataFrame(
+        _tiny(
+            spark,
             [(_TERM_ID_DOCLEN, DOCLEN_TERM), (_TERM_ID_SITE, SITE_TERM)],
             "term_id long, term string",
         )

@@ -36,7 +36,7 @@ from searchengine_spark.operators.postings import (
     lemmatize_transcripts,
     term_stats,
 )
-from searchengine_spark.sources.catalog import TableCatalog
+from searchengine_spark.sources.catalog import TableCatalog, tiny_df
 
 BUILD_STATE_SCHEMA = (
     "stage string, partition_id long, status string, rows long, checksum string, "
@@ -57,13 +57,15 @@ class BuildResult:
 
 
 def _append_state(cat: TableCatalog, rows: list[tuple]) -> None:
-    df = cat.spark.createDataFrame(rows, BUILD_STATE_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(cat.path("build_state"))
+    tiny_df(cat.spark, rows, BUILD_STATE_SCHEMA).write.mode("append").parquet(
+        cat.path("build_state")
+    )
 
 
 def _append_metrics(cat: TableCatalog, rows: list[tuple]) -> None:
-    df = cat.spark.createDataFrame(rows, METRICS_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(cat.path("metrics"))
+    tiny_df(cat.spark, rows, METRICS_SCHEMA).write.mode("append").parquet(
+        cat.path("metrics")
+    )
 
 
 def _done_stages(cat: TableCatalog) -> set[str]:
@@ -108,11 +110,9 @@ def build_index(
 
     # metrics are buffered in memory and written ONCE at the end of the
     # build — a metrics row is observability, not a checkpoint, and each
-    # tiny parquet append is a whole Spark job of fixed overhead. The
-    # build_state DONE batch, by contrast, MUST be durable per stage
-    # (resume correctness), so that stays one write per stage; the
-    # RUNNING marker job was dropped for the same overhead reason
-    # (FAILED is still recorded on exception).
+    # tiny parquet append is a whole Spark job of fixed overhead (tiny_df
+    # keeps it ~0.4 s). The build_state RUNNING/DONE markers, by contrast,
+    # MUST be durable per stage (status lifecycle + resume correctness).
     metric_buf: list[tuple] = []
 
     done_stages = _done_stages(cat) if resume else set()
@@ -314,8 +314,7 @@ def build_index(
         flat = cat.read("postings_flat")
         sids = site_ids
         cat.write(
-            spark.createDataFrame(sorted(sids.items()), "site string, sid long")
-            .coalesce(1),
+            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
             "sites",
         )
         blocks = encode_posting_blocks(
@@ -337,7 +336,8 @@ def build_index(
         # freeze the shard geometry: incremental updates and the searcher
         # must use the build-time shard size, not one re-derived from a
         # drifting n_docs (doc-range shards are physical layout)
-        meta = spark.createDataFrame(
+        meta = tiny_df(
+            spark,
             [
                 ("shard_size", float(cfg.shard_size(res.n_docs))),
                 ("block_size", float(cfg.block_size)),
@@ -346,7 +346,7 @@ def build_index(
             ],
             "key string, value double",
         )
-        cat.write(meta.coalesce(1), "index_meta")
+        cat.write(meta, "index_meta")
         written = cat.read("postings")
         lineage = (
             written.groupBy("shard")

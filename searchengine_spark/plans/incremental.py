@@ -46,7 +46,7 @@ from searchengine_spark.operators.postings import (
 )
 from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
 from searchengine_spark.plans.build_index import _append_state
-from searchengine_spark.sources.catalog import TableCatalog
+from searchengine_spark.sources.catalog import TableCatalog, tiny_df
 from searchengine_spark.sources.transcripts import site_of_conv
 
 
@@ -93,7 +93,8 @@ def reindex_turn(
     abuckets = sorted({term_bucket_py(t, nb) for t in affected})
 
     # --- postings_flat: rewrite ONLY the affected term buckets --------------
-    new_rows = spark.createDataFrame(
+    new_rows = tiny_df(
+        spark,
         [(t, doc_id, site, doc_len, c) for t, c in counts.items()],
         "term string, doc_id long, site string, doc_len int, tf long",
     ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
@@ -109,7 +110,8 @@ def reindex_turn(
     )
 
     # --- documents: rewrite the doc's shard partition -----------------------
-    new_doc = spark.createDataFrame(
+    new_doc = tiny_df(
+        spark,
         [(doc_id, conv_id, turn_idx, site, doc_len, dshard)],
         "doc_id long, conv_id string, turn_idx int, site string, "
         "doc_len int, shard long",
@@ -158,8 +160,8 @@ def reindex_turn(
         if t not in old_ids:
             old_ids[t] = next_id
             next_id += 1
-    id_df = spark.createDataFrame(
-        sorted(old_ids.items()), "term string, term_id long"
+    id_df = tiny_df(
+        spark, sorted(old_ids.items()), "term string, term_id long"
     )
     g_keep = g_old.filter(
         F.col("bucket").isin(abuckets) & ~F.col("term").isin(affected)
@@ -214,8 +216,7 @@ def reindex_turn(
     if site not in sids:  # new sites append ids — existing ids never shift
         sids[site] = max(sids.values(), default=-1) + 1
         cat.replace(
-            spark.createDataFrame(sorted(sids.items()), "site string, sid long")
-            .coalesce(1),
+            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
             "sites",
         )
     re_blocks = encode_posting_blocks(

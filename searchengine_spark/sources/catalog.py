@@ -25,6 +25,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-partition DataFrame for metadata-sized writes. Measured on
+    this Spark build: writing a driver-local ``createDataFrame(list)``
+    (LocalRelation) costs 5-8 s per tiny append, while the same rows via
+    ``parallelize(rows, 1)`` cost ~0.4 s — and a build does ~7 such writes
+    (state markers, metrics, meta tables)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 class TableCatalog:
     def __init__(self, spark: SparkSession, warehouse: str, iceberg_catalog: str | None = None):
         self.spark = spark

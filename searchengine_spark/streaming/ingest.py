@@ -42,7 +42,7 @@ from searchengine_spark.operators.postings import (
     term_bucket_py,
 )
 from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
-from searchengine_spark.sources.catalog import TableCatalog
+from searchengine_spark.sources.catalog import TableCatalog, tiny_df
 from searchengine_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
 
@@ -134,8 +134,8 @@ def append_turns(
         if t not in old_ids:
             old_ids[t] = next_id
             next_id += 1
-    id_df = spark.createDataFrame(
-        sorted(old_ids.items()), "term string, term_id long"
+    id_df = tiny_df(
+        spark, sorted(old_ids.items()), "term string, term_id long"
     )
     g_aff = aff_flat.groupBy("term").agg(
         F.count("*").alias("df_global"), F.sum("tf").alias("cf_global")
@@ -182,15 +182,12 @@ def append_turns(
         for s in new_sites:
             sids[s] = max(sids.values(), default=-1) + 1
         cat.replace(
-            spark.createDataFrame(sorted(sids.items()), "site string, sid long")
-            .coalesce(1),
+            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
             "sites",
         )
     shard_docs = documents.filter(F.col("shard").isin(new_shards))
     re_flat = flat.join(
-        F.broadcast(
-            spark.createDataFrame([(s,) for s in new_shards], "shard long")
-        ),
+        F.broadcast(tiny_df(spark, [(s,) for s in new_shards], "shard long")),
         (F.col("doc_id") / F.lit(shard_size)).cast("long") == F.col("shard"),
     ).drop("shard")
     cfg_frozen = dataclasses.replace(cfg, docs_per_shard=shard_size)
