@@ -8,14 +8,17 @@ directory → ``foreachBatch`` → :func:`append_turns` (exactly-once per batch
 via the streaming checkpoint + the idempotent left-anti dedup against the
 documents table).
 
-Cost shape per micro-batch (everything partition-scoped, like
-``plans/incremental.py``):
-- new doc ids continue from max(doc_id) — appends land in the TAIL doc-range
-  shards, so only those shards' posting blocks are re-encoded;
+Cost shape per micro-batch — O(batch), independent of corpus size:
+- new doc ids continue from max(doc_id), ABOVE every already-encoded id, so
+  the batch's posting blocks APPEND after the existing (term, shard) blocks
+  (disjoint doc ranges; the query kernel merges blocks by min_doc) — no
+  existing block file is read or rewritten;
 - ``postings_flat`` / ``documents`` take pure file APPENDS into their
-  partition directories (no rewrite of existing files);
-- ``terms`` / ``terms_global`` rewrite only the batch vocabulary's buckets;
-- every other partition of every table is untouched.
+  partition directories;
+- ``terms`` / ``terms_global`` rewrite only the batch vocabulary's buckets
+  (vocabulary-sized);
+- every existing file of every table is untouched (append-only + bucket
+  replaces).
 
 ``trigger(availableNow=True)`` gives batch-incremental catch-up runs; a
 continuous trigger serves a live feed. Watermarks/stateful operators are
@@ -105,12 +108,19 @@ def append_turns(
               partition_by=["bucket"], sort_by=["term", "doc_id"])
 
     # --- terms / terms_global: rewrite the batch vocabulary's buckets -------
+    # affected terms come from the BATCH's own lemma maps (micro-batch
+    # sized) — never from scanning the corpus-wide flat table (doc_id is
+    # not its partition key, so that join could not prune anything)
     flat = cat.read("postings_flat")
     affected = sorted(
         r["term"]
-        for r in cat.read("postings_flat")
-        .join(F.broadcast(ids.select("doc_id")), "doc_id")
-        .select("term").distinct().collect()
+        for r in lemmed.join(
+            F.broadcast(ids.select("conv_id", "turn_idx")),
+            ["conv_id", "turn_idx"],
+        )
+        .select(F.explode(F.map_keys("counts")).alias("term"))
+        .distinct()
+        .collect()
     )
     abuckets = sorted({term_bucket_py(t, nb) for t in affected})
     documents = cat.read("documents")
@@ -167,7 +177,18 @@ def append_turns(
         sort_by=["term"],
     )
 
-    # --- posting blocks: re-encode ONLY the shards the batch touched --------
+    # --- posting blocks: encode the BATCH's postings, APPEND after the ------
+    # existing blocks. Every new doc_id is ABOVE every already-encoded
+    # doc_id (ids are max+1… appends), so the new blocks' doc ranges are
+    # disjoint from and after all existing (term, shard) blocks — the query
+    # kernel concatenates blocks in min_doc order, which stays a sorted
+    # posting list. Existing block FILES are never read or rewritten; the
+    # only corpus-sized state touched is a partition-PRUNED metadata read
+    # of the touched shards' (term, block_id) pairs for id continuation.
+    # Micro-batch cost is therefore O(batch), independent of corpus size.
+    # (Repeated small appends leave ≤1 under-filled block per term per
+    # batch — a background compaction = reindex of the shard via
+    # replace_partitions squashes them; the kernel is count-agnostic.)
     new_shards = sorted(
         r["shard"]
         for r in docs_new.select(
@@ -185,21 +206,30 @@ def append_turns(
             tiny_df(spark, sorted(sids.items()), "site string, sid long"),
             "sites",
         )
-    shard_docs = documents.filter(F.col("shard").isin(new_shards))
-    re_flat = flat.join(
-        F.broadcast(tiny_df(spark, [(s,) for s in new_shards], "shard long")),
-        (F.col("doc_id") / F.lit(shard_size)).cast("long") == F.col("shard"),
-    ).drop("shard")
     cfg_frozen = dataclasses.replace(cfg, docs_per_shard=shard_size)
-    # full re-encode of the touched (tail) shards from flat — re_flat holds
-    # ALL their postings (old docs of a partially-filled tail shard
-    # included), so re_blocks fully replaces those shard partitions
-    re_blocks = encode_posting_blocks(
-        re_flat, n_docs, avgdl, cat.read("terms_global"), cfg_frozen,
-        documents=shard_docs, site_ids=sids,
+    batch_flat = flat_new.drop("bucket")
+    new_blocks = encode_posting_blocks(
+        batch_flat, n_docs, avgdl, cat.read("terms_global"), cfg_frozen,
+        documents=docs_new.select("doc_id", "conv_id", "turn_idx", "site", "doc_len"),
+        site_ids=sids,
     )
-    cat.replace_partitions(
-        re_blocks, "postings", "shard", new_shards, sort_by=["term"]
+    existing_ids = (
+        cat.read("postings")
+        .filter(F.col("shard").isin(new_shards))  # partition-pruned
+        .groupBy("term", F.col("shard").cast("long").alias("shard"))
+        .agg(F.max("block_id").alias("_max_bid"))
+    )
+    appended = (
+        new_blocks.join(existing_ids, ["term", "shard"], "left")
+        .withColumn(
+            "block_id",
+            F.col("block_id") + F.coalesce(F.col("_max_bid") + 1, F.lit(0)),
+        )
+        .drop("_max_bid")
+    )
+    cat.write(
+        appended, "postings", mode="append", partition_by=["shard"],
+        sort_by=["term"],
     )
 
     return int(n_new)

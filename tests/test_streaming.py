@@ -137,3 +137,45 @@ def test_stream_transcripts_available_now(spark, corpus):
     assert eng.catalog.read("documents").count() == n0 + 1
     for d in (wh, indir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_never_rewrites_existing_files(spark, corpus):
+    """The append path is O(batch): every pre-existing file of documents/
+    postings_flat/postings survives byte-identical (blocks APPEND after the
+    existing (term, shard) runs — disjoint higher doc ranges)."""
+    import hashlib
+
+    wh = tempfile.mkdtemp(prefix="se_appstab_")
+    eng = SearchEngine(spark, wh)
+    eng.build(transcripts_spark_df(spark, corpus))
+
+    def snapshot(table):
+        out = {}
+        root = os.path.join(wh, table)
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    tables = ["postings", "postings_flat", "documents"]
+    before = {t: snapshot(t) for t in tables}
+    eng.append_turns(_late_batch(
+        spark, [("conv00-850001", 0, "appendonly hotalpha words here")]
+    ))
+    after = {t: snapshot(t) for t in tables}
+    for t in tables:
+        for path, h in before[t].items():
+            if path == "_SUCCESS":
+                continue
+            assert after[t].get(path) == h, (t, path)
+        assert len(after[t]) > len(before[t]), t  # new files appended
+    # and the appended doc is immediately searchable alongside old blocks
+    page, count = eng.search("appendonly")
+    assert count == 1
+    _, chot = eng.search("hotalpha", exact_count=True)
+    assert chot > 1  # old + new postings merge in the kernel
+    shutil.rmtree(wh, ignore_errors=True)
