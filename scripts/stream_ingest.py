@@ -39,7 +39,11 @@ def main() -> None:
         available_now=not args.continuous,
     )
     q.awaitTermination()
-    print(json.dumps({"stream": "stopped", "lastProgress": q.lastProgress}))
+    print(
+        json.dumps(
+            {"stream": "stopped", "lastProgress": q.lastProgress}, default=str
+        )
+    )
 
 
 if __name__ == "__main__":
