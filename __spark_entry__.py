@@ -254,6 +254,12 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Hamming-neighbor near-dup pairs over SimHash signatures: pigeonhole
+    chunk join + star-pairing + bit_count(xor) verification."""
+    return dedup.simhash_pairs(_documents(spark, sf_dir), bits=16, max_hamming=3)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     # max_shingle_df=None: the oracle-gated query is EXACT (no df filter in
     # the SQL either); the df cap stays an opt-in scale knob for skewed
@@ -400,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_fingerprint": q_fingerprint,
         "q_ann_topk": q_ann_topk,
@@ -658,6 +665,29 @@ with {_WRD},
 tfs as (select doc_id, word, count(*) as tf from wrd group by doc_id, word)
 select doc_id, cast({simhash_terms} as bigint) as simhash
 from tfs group by doc_id
+""",
+        "q_simhash_pairs": f"""
+with {_WRD},
+tfs as (select doc_id, word, count(*) as tf from wrd group by doc_id, word),
+sig as (
+  select doc_id, cast({simhash_terms} as bigint) as simhash
+  from tfs group by doc_id
+),
+bands as (
+{" union all ".join(f"  select doc_id, {c} as band, (simhash >> {c * 4}) & 15 as key from sig" for c in range(4))}
+),
+cand as (
+  select distinct a, b from (
+    select min(doc_id) over (partition by band, key) as a, doc_id as b
+    from bands
+  ) where b <> a
+)
+select c.a, c.b,
+       cast(bit_count(xor(sa.simhash, sb.simhash)) as int) as hamming
+from cand c
+join sig sa on sa.doc_id = c.a
+join sig sb on sb.doc_id = c.b
+where bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """,
         "q_jaccard_pairs": f"""
 with {_GRAMS},

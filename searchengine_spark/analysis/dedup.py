@@ -132,6 +132,55 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    documents: DataFrame, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """(a, b, hamming): near-dup pairs whose SimHash signatures differ in at
+    most ``max_hamming`` bits, a = the bucket-canonical (min doc_id) < b.
+
+    Scale shape (the Hamming-neighbor search SimHash alone lacks): split
+    the signature into ``max_hamming+1`` chunks — by pigeonhole, any pair
+    within the Hamming budget agrees EXACTLY on ≥1 chunk — join on
+    (chunk index, chunk value), star-pair within each bucket (the same
+    hot-bucket guard as :func:`minhash_lsh_pairs`), then verify with
+    ``bit_count(xor)``. Chunk width = bits/(max_hamming+1) controls bucket
+    count: 64-bit signatures with d=3 give 16-bit chunks = 65k buckets per
+    band; the 16-bit default is demo-width for the sf fixtures."""
+    chunks = max_hamming + 1
+    w = bits // chunks
+    mask = (1 << w) - 1
+    sigs = simhash(documents, bits)
+    bands = None
+    for c in range(chunks):
+        b = sigs.select(
+            "doc_id",
+            F.lit(c).alias("band"),
+            (F.shiftright("simhash", c * w) % F.lit(mask + 1)).alias("key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    win = Window.partitionBy("band", "key")
+    cand = (
+        bands.withColumn("_canon", F.min("doc_id").over(win))
+        .filter(F.col("doc_id") != F.col("_canon"))
+        .select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -260,3 +260,36 @@ def test_bpe_token_stats(spark):
     assert out["n_bpe_tokens"] == 9
     assert out["n_digit_tokens"] == 3
     assert out["n_punct_tokens"] == 3
+
+
+def test_simhash_pairs_hamming_neighbors(spark):
+    """Pigeonhole chunk join finds all pairs within the Hamming budget for
+    identical/near-identical docs; star-pairing bounds bucket blowup."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",   # identical → d=0
+                "alpha beta gamma delta epsilon eta",    # near → small d
+                "completely different words entirely here now",
+            ],
+            "source": ["s"] * 4,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    pairs = dedup.simhash_pairs(docs, bits=16, max_hamming=3).toPandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in
+           zip(pairs["a"], pairs["b"], pairs["hamming"])}
+    assert got.get((0, 1)) == 0  # identical docs: Hamming 0
+    assert all(h <= 3 for h in got.values())
+    # 1k identical docs: star-pairing emits n-1 pairs, not n²/2
+    big = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1000),
+                      "text": ["same text here"] * 1000,
+                      "source": ["s"] * 1000})
+    )
+    bp = dedup.simhash_pairs(big, bits=16, max_hamming=3).toPandas()
+    assert len(bp) == 999 and set(bp["a"]) == {0}
