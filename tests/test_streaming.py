@@ -179,3 +179,22 @@ def test_append_never_rewrites_existing_files(spark, corpus):
     _, chot = eng.search("hotalpha", exact_count=True)
     assert chot > 1  # old + new postings merge in the kernel
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_append_then_reindex_compacts(spark, corpus):
+    """Mixed late-data flows: a streamed append followed by an upsert of the
+    SAME turn must stay consistent — the shard reindex squashes the appended
+    blocks (compaction) and the new text wins."""
+    wh = tempfile.mkdtemp(prefix="se_mix_")
+    eng = SearchEngine(spark, wh)
+    eng.build(transcripts_spark_df(spark, corpus))
+    eng.append_turns(_late_batch(
+        spark, [("conv00-870001", 0, "mixfirstword appears")]
+    ))
+    _, c1 = eng.search("mixfirstword")
+    assert c1 == 1
+    eng.reindex_turn("conv00-870001", 0, "mixsecondword replaces it")
+    _, c2 = eng.search("mixfirstword")
+    _, c3 = eng.search("mixsecondword")
+    assert c2 == 0 and c3 == 1
+    shutil.rmtree(wh, ignore_errors=True)
