@@ -151,7 +151,8 @@ def q_postings_tf(spark, sf_dir):
     """Flat postings (term, doc, tf) — the search_index analog, via the
     vectorized lemmatizer + hash agg."""
     eng = _engine(spark, sf_dir)
-    flat = eng.catalog.read("postings_flat")
+    # bucket >= 0 prunes the per-doc #doc_len marker partition (real postings only)
+    flat = eng.catalog.read("postings_flat").filter(F.col("bucket") >= 0)
     docs = eng.catalog.read("documents").select(
         "doc_id", _orig_id().alias("orig_id")
     )

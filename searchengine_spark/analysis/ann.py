@@ -320,16 +320,12 @@ def lsh_bucket_pairs(
     embeddings cannot blow up the verify join — the same skewed-key
     discipline as dedup.ngram_jaccard_pairs' max_shingle_df. Duplicate
     groups stay connected through their canonical member."""
+    from searchengine_spark.analysis.dedup import star_pairs
+
     buckets = lsh_sign_buckets(
         embeddings, n_bits, n_tables, seed, id_col, vec_col
     )
-    w = Window.partitionBy("lsh_table", "bucket")
-    cand = (
-        buckets.withColumn("_canon", F.min("vec_id").over(w))
-        .filter(F.col("vec_id") != F.col("_canon"))
-        .select(F.col("_canon").alias("a"), F.col("vec_id").alias("b"))
-        .distinct()
-    )
+    cand = star_pairs(buckets, ["lsh_table", "bucket"], "vec_id")
     vecs = embeddings.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     )

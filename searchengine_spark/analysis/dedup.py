@@ -20,13 +20,33 @@ byte-identical SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.analysis.textstats import h32_col, word_ngrams, words
 from searchengine_spark.oracle.sqlgen import MINHASH_P, _MINHASH_AB
 
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def star_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """(a, b): every bucket member paired with the bucket's canonical (min
+    id) — a bucket of m rows emits m−1 pairs, O(n) corpus-wide, and dup
+    groups stay connected through their canonical.
+
+    Physical shape matters as much as the pair count: groupBy + broadcast-
+    able join back, NOT ``min().over(Window.partitionBy(bucket))`` — the
+    window form buffers each bucket in ONE task, so a degenerate 10^9-member
+    bucket becomes a single-task straggler even though its output is O(m).
+    The groupBy runs map-side partial min and the join spreads the hot
+    bucket's rows across normal hash-join tasks."""
+    canon = df.groupBy(*bucket_cols).agg(F.min(id_col).alias("_canon"))
+    return (
+        df.join(canon, bucket_cols)
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(F.col("_canon").alias("a"), F.col(id_col).alias("b"))
+        .distinct()
+    )
 
 
 def _minhash_col(h, k):
@@ -42,12 +62,14 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     hashed = documents.filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     ).select("doc_id", F.md5("text").alias("text_hash"))
-    w = Window.partitionBy("text_hash")
-    return hashed.select(
+    # groupBy+join, not min().over(window): a boilerplate hash group of 10^9
+    # docs would otherwise buffer in one window task (see star_pairs)
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_doc"))
+    return hashed.join(canon, "text_hash").select(
         "doc_id",
         "text_hash",
-        F.min("doc_id").over(w).alias("canonical_doc"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+        "canonical_doc",
+        (F.col("doc_id") != F.col("canonical_doc")).cast("int").alias("is_dup"),
     )
 
 
@@ -94,13 +116,7 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for extra in band_rows[1:]:
         banded = banded.unionByName(extra)
-    w = Window.partitionBy("band", "band_key")
-    return (
-        banded.withColumn("_canon", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("_canon"))
-        .select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
-        .distinct()
-    )
+    return star_pairs(banded, ["band", "band_key"], "doc_id")
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
@@ -158,13 +174,7 @@ def simhash_pairs(
             (F.shiftright("simhash", c * w) % F.lit(mask + 1)).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    win = Window.partitionBy("band", "key")
-    cand = (
-        bands.withColumn("_canon", F.min("doc_id").over(win))
-        .filter(F.col("doc_id") != F.col("_canon"))
-        .select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
-        .distinct()
-    )
+    cand = star_pairs(bands, ["band", "key"], "doc_id")
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_sb"))
     return (

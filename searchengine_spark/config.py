@@ -79,6 +79,16 @@ class EngineConfig:
     # floor 64.
     term_buckets: int | None = None
 
+    # Second-level partitioning of postings_flat: sgrp = doc_id //
+    # flat_group_docs, capped at this many groups at build time (the total
+    # cell count nb × n_groups must stay catalog-sane at 10^12 docs — a few
+    # hundred thousand cells, not nb × n_shards ≈ 10^9). An upsert rewrites
+    # (bucket, sgrp) CELLS — corpus/(nb·n_groups) rows each — instead of
+    # whole corpus/nb buckets; the streaming recovery fence reads only the
+    # tail group's cells. Groups keep growing past the build-time count as
+    # appends raise doc ids (doc-range groups are physical layout).
+    max_flat_groups: int = 64
+
     bm25: BM25Params = field(default_factory=BM25Params)
 
     # Search defaults — the reference's API defaults
@@ -105,6 +115,15 @@ class EngineConfig:
             self.max_docs_per_shard,
             max(4096, math.ceil(max(1, n_docs) / target_shards)),
         )
+
+    def flat_group_docs(self, shard_size: int, n_docs: int) -> int:
+        """Docs per postings_flat doc-range group (the sgrp partition level).
+        A multiple of shard_size, so every doc-range shard lives in exactly
+        one group (M1 rewrites and shard compaction touch one group). The
+        resolved value is frozen into index_meta at build time."""
+        n_shards = max(1, math.ceil(max(1, n_docs) / shard_size))
+        width = max(1, math.ceil(n_shards / self.max_flat_groups))
+        return shard_size * width
 
     def n_term_buckets(self, n_docs: int | None = None) -> int:
         """Resolve term_buckets (physical partition count of term-keyed

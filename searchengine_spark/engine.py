@@ -52,10 +52,17 @@ class SearchEngine:
     def searcher(self) -> BlockSearcher:
         if self._searcher is None:
             cat = self.catalog
-            meta = {r["key"]: r["value"] for r in cat.read("index_meta").collect()}
-            site_ids = {
-                r["site"]: int(r["sid"]) for r in cat.read("sites").collect()
+            # init reads only index_meta + sites (both tiny): corpus stats
+            # are maintained counters, site ranges live in the sites table —
+            # NO corpus-sized job runs before the first query
+            meta = cat.read_meta()
+            site_rows = cat.read("sites").collect()
+            site_ids = {r["site"]: int(r["sid"]) for r in site_rows}
+            site_ranges = {
+                r["site"]: (int(r["lo"]), int(r["hi"])) for r in site_rows
             }
+            n_docs = int(meta["n_docs"])
+            avgdl = meta["sum_doc_len"] / n_docs if n_docs else 0.0
             self._searcher = BlockSearcher(
                 blocks=cat.read("postings"),
                 documents=cat.read("documents"),
@@ -67,6 +74,9 @@ class SearchEngine:
                 term_buckets=int(meta["term_buckets"])
                 if "term_buckets" in meta
                 else None,
+                n_docs=n_docs,
+                avgdl=avgdl,
+                site_ranges=site_ranges,
             )
         return self._searcher
 
@@ -122,12 +132,39 @@ class SearchEngine:
         return doc_id
 
     # ---- streaming / bulk late-data append --------------------------------------
-    def append_turns(self, transcripts: DataFrame) -> int:
+    def append_turns(self, transcripts: DataFrame, epoch: int | None = None) -> int:
         """Append a batch of NEW turns (late data; already-indexed keys are
-        dropped). Partition-scoped writes only — see streaming/ingest.py."""
+        dropped). O(batch) reads+writes, crash-safe under retry — see
+        streaming/ingest.py's commit protocol."""
         from searchengine_spark.streaming.ingest import append_turns as _append
 
-        n = _append(self.spark, self.warehouse, transcripts, self.cfg)
+        n = _append(self.spark, self.warehouse, transcripts, self.cfg, epoch=epoch)
         if n:
             self._searcher = None
         return n
+
+    # ---- maintenance: squash streaming-append block tails -----------------------
+    def compact_shard(self, shard: int) -> int:
+        """Re-encode one doc-range shard's posting blocks from postings_flat
+        (no text change): restores fresh-build block geometry after many
+        small appends. Returns the shard's block count after compaction."""
+        from searchengine_spark.plans.compaction import compact_shard as _compact
+
+        n = _compact(self.spark, self.warehouse, shard, self.cfg)
+        self._searcher = None
+        return n
+
+    def compact_appended(self) -> dict[int, int]:
+        """Compact every shard the append path may have fragmented (all
+        shards at/after the build watermark). Returns shard → block count."""
+        from searchengine_spark.plans.compaction import (
+            appended_shards,
+            compact_shard as _compact,
+        )
+
+        out = {
+            s: _compact(self.spark, self.warehouse, s, self.cfg)
+            for s in appended_shards(self.catalog)
+        }
+        self._searcher = None
+        return out

@@ -8,11 +8,13 @@ query lemma (:172-214); emit a ~40-word window (:218) with matched lemma
 occurrences wrapped in ``<b>…</b>`` (:276-277).
 
 Multi-window (``LemmaSearcherImpl.java:121-125,216-233``): when the chosen
-lemma positions span more than ~``window`` words, the reference emits one
-shrunken window per distant position and joins them with ``" ... "`` in
-document order; this module reproduces that semantics (windows of
-``window/k`` words around each chosen position, overlapping windows merged)
-without transliterating the reference's backwards-concat loop.
+lemma positions span more than ``window`` words, the reference emits one
+2·offset-word part per distant tail position (offset = window // k // 2,
+fixed), shrinking the remaining length by 2·offset−1 each round, then one
+final part covering the leftover cluster, all joined with ``" ... "`` in
+document order. This module reproduces that arithmetic exactly (goldens in
+``test_snippets.py``); positions index letter-run tokens rather than the
+reference's ``split()`` array with empty entries.
 
 Divergence (documented): title is synthesized as ``conv_id#turn_idx`` since
 transcript turns have no HTML ``<title>`` (P3, ``SearchServiceImpl.java:176``).
@@ -74,21 +76,35 @@ def make_snippet(text: str, query_lemmas: set[str], window: int = SNIPPET_WINDOW
             | {min(positions[o], key=lambda q: abs(q - best_pos)) for o in others}
         )
 
-    # window intervals (token index ranges, end-exclusive): one ~window-word
-    # span when the chosen positions cluster, else a ~window/k-word part per
-    # distant position, overlapping parts merged (getSnippetParts semantics)
-    if chosen[-1] - chosen[0] <= window:
-        half = max(0, (window - (chosen[-1] - chosen[0])) // 2)
-        intervals = [(max(0, chosen[0] - half), min(len(tokens), chosen[-1] + half + 1))]
-    else:
-        half = max(1, window // len(chosen) // 2)
-        intervals = []
-        for c in chosen:
-            lo, hi = max(0, c - half), min(len(tokens), c + half + 1)
-            if intervals and lo <= intervals[-1][1]:
-                intervals[-1] = (intervals[-1][0], hi)  # merge overlap
-            else:
-                intervals.append((lo, hi))
+    # window intervals (token index ranges, END-EXCLUSIVE), following
+    # getSnippetParts' arithmetic exactly (LemmaSearcherImpl.java:216-233):
+    # fixed offset = window // k // 2; while the remaining chosen indices
+    # span more than the (shrinking) length, emit a 2·offset-word part
+    # around the LAST remaining index [ind[c]−offset, ind[c]+offset−1) and
+    # shrink length ← max(length − 2·offset + 1, 0); the final part covers
+    # the remaining cluster [ind[0]−offset, ind[c]+offset−1). Parts are
+    # produced back-to-front and joined in document order (getSnippet's
+    # reversed concat, :121-125). Deviation: offset is floored at 1 (a
+    # >window/2-lemma query would otherwise emit empty parts); positions
+    # index letter-run tokens, not the reference's split() array with its
+    # empty entries.
+    offset = max(1, window // len(chosen) // 2)
+    length = window
+    counter = len(chosen) - 1
+    intervals: list[tuple[int, int]] = []
+    while True:
+        idx = counter if chosen[counter] - chosen[0] > length else 0
+        start = max(0, chosen[idx] - offset)
+        end = min(chosen[counter] + offset - 1, len(tokens) - 1)
+        # (guard: keep the anchoring position inside its end-exclusive part
+        # — the reference drops a match sitting on the very last word)
+        end = min(max(end, chosen[counter] + 1, start + 1), len(tokens))
+        intervals.append((start, end))
+        if chosen[counter] - chosen[0] <= length:
+            break
+        counter -= 1
+        length = max(length - offset * 2 + 1, 0)
+    intervals.reverse()
 
     def render(start: int, end: int) -> str:
         # P2: reconstruct from the original text span, bolding matched tokens

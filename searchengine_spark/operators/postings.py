@@ -58,11 +58,47 @@ _TERM_ID_DOCLEN = -1
 _TERM_ID_SITE = -2
 
 
+#: postings_flat partition value of the per-doc ``#doc_len`` marker rows —
+#: its own directory, so pure-posting scans prune it away and the documents
+#: stage reads ONLY it (no posting-sized doc_len aggregation anywhere).
+MARKER_BUCKET = -1
+
+
 def term_bucket_col(col, n_buckets: int):
     """Physical partition of the term-keyed tables: crc32(term) mod n.
     CRC32 (not xxhash64) so the DRIVER can compute the same bucket for a
     query term via zlib.crc32 and prune partitions without a Spark job."""
     return F.pmod(F.crc32(col), F.lit(n_buckets)).cast("int")
+
+
+def flat_bucket_col(term_col, n_buckets: int):
+    """postings_flat bucket: real terms hash-bucket; the per-doc doc_len
+    marker rows get their own MARKER_BUCKET partition."""
+    from searchengine_spark.operators.search import DOCLEN_TERM
+
+    return (
+        F.when(term_col == F.lit(DOCLEN_TERM), F.lit(MARKER_BUCKET))
+        .otherwise(term_bucket_col(term_col, n_buckets))
+        .cast("int")
+    )
+
+
+def sgrp_col(doc_id_col, flat_group_docs: int):
+    """postings_flat second partition level: contiguous doc-range group."""
+    return (doc_id_col / F.lit(int(flat_group_docs))).cast("long")
+
+
+def counts_with_marker():
+    """Per-doc lemma map extended with the ``#doc_len`` marker entry —
+    exploding this emits the marker row in the SAME pass as the posting
+    rows, so per-doc metadata (doc_len, and therefore the documents table)
+    never needs a posting-sized aggregation or a second lemmatizer pass.
+    Every eligible doc emits ≥1 row (the marker), zero-lemma docs included."""
+    from searchengine_spark.operators.search import DOCLEN_TERM
+
+    return F.map_concat(
+        F.create_map(F.lit(DOCLEN_TERM), F.col("doc_len")), F.col("counts")
+    )
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -130,9 +166,14 @@ def term_stats(flat: DataFrame) -> DataFrame:
     on (doc_id, term), so df is a plain count, no countDistinct shuffle.
     ONE aggregation pass over the postings; the corpus-global stats derive
     from this table's rollup (:func:`global_term_stats`) — a doc belongs to
-    exactly one site, so Σ_site df == global df."""
-    return flat.groupBy("term", "site").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    exactly one site, so Σ_site df == global df. Marker rows are excluded
+    defensively (callers already prune the MARKER_BUCKET partition)."""
+    from searchengine_spark.operators.search import DOCLEN_TERM
+
+    return (
+        flat.filter(F.col("term") != DOCLEN_TERM)
+        .groupBy("term", "site")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
     )
 
 

@@ -342,6 +342,9 @@ class BlockSearcher:
         shard_size: int | None = None,
         site_ids: dict[str, int] | None = None,
         term_buckets: int | None = None,
+        n_docs: int | None = None,
+        avgdl: float | None = None,
+        site_ranges: dict[str, tuple[int, int]] | None = None,
     ):
         self.blocks = blocks
         self.documents = documents
@@ -351,19 +354,29 @@ class BlockSearcher:
         # bucket count of the term-partitioned tables (index_meta): lets the
         # term-stats lookup prune to the query terms' partitions
         self.term_buckets = term_buckets if "bucket" in terms.columns else None
-        row = documents.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
-        self.n_docs, self.avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        # corpus stats + per-site ranges come from index_meta / the sites
+        # table when built through the engine (searcher init then runs ZERO
+        # corpus-sized jobs); the aggregation fallback serves ad-hoc
+        # construction in tests
+        if n_docs is not None and avgdl is not None:
+            self.n_docs, self.avgdl = int(n_docs), float(avgdl)
+        else:
+            row = documents.agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+            self.n_docs, self.avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
         # per-site doc-id [min, max] — a sound SUPERSET bound for shard-scan
         # pruning even after incremental appends (exact filtering is the
         # kernel's SITE_TERM job, not this)
-        self.site_ranges = {
-            r["site"]: (int(r["lo"]), int(r["hi"]))
-            for r in documents.groupBy("site")
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .collect()
-        }
+        if site_ranges is not None:
+            self.site_ranges = dict(site_ranges)
+        else:
+            self.site_ranges = {
+                r["site"]: (int(r["lo"]), int(r["hi"]))
+                for r in documents.groupBy("site")
+                .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                .collect()
+            }
         # stable mapping from the build-time `sites` table when provided
         # (incrementally-added sites append ids; sorted-derive is only the
         # fallback for ad-hoc construction in tests)

@@ -193,12 +193,22 @@ def build_index(
         )
         n_ids = ids.count()  # materializes the cache; n_docs for free
 
+        from searchengine_spark.operators.postings import (
+            MARKER_BUCKET,
+            counts_with_marker,
+            flat_bucket_col,
+            sgrp_col,
+        )
+
         rows = lemmatize_transcripts(src).select(
             "conv_id",
             "turn_idx",
             "site",
             "doc_len",
-            F.explode("counts").alias("term", "tf"),
+            # the #doc_len marker entry rides the SAME explode as the real
+            # postings: per-doc metadata costs zero extra passes/shuffles
+            # (the marker rows land in their own MARKER_BUCKET partition)
+            F.explode(counts_with_marker()).alias("term", "tf"),
         )
         # broadcast the id map when it fits (≈30 B/doc → tens of millions of
         # docs): the 30×-larger posting-row side then never shuffles for the
@@ -208,34 +218,38 @@ def build_index(
         id_side = F.broadcast(ids) if n_ids <= cfg.broadcast_ids_max else ids
         joined = rows.join(id_side, ["conv_id", "turn_idx"])
         # physical layout for incremental upserts (M1): postings_flat is
-        # PARTITIONED by the term hash bucket, documents by doc-range shard
-        # — an upsert then rewrites only the touched partitions
-        # (catalog.replace_partitions), never the whole table
+        # PARTITIONED by (term-hash bucket, doc-range group) — an upsert
+        # rewrites only the touched CELLS (corpus/(nb·n_groups) rows each),
+        # and the streaming recovery fence reads only the tail group's cells.
+        # Files are sorted by doc_id so doc-range predicates (M1 old-term
+        # lookup, shard re-encode, orphan fencing) hit parquet row-group
+        # min/max pruning.
         nb = cfg.n_term_buckets(n_ids)
         shard_size = cfg.shard_size(n_ids)
-        from searchengine_spark.operators.postings import term_bucket_col
+        fgd = cfg.flat_group_docs(shard_size, n_ids)
 
-        flat_b = flat_postings(joined).withColumn(
-            "bucket", term_bucket_col(F.col("term"), nb)
+        flat_b = (
+            flat_postings(joined)
+            .withColumn("bucket", flat_bucket_col(F.col("term"), nb))
+            .withColumn("sgrp", sgrp_col(F.col("doc_id"), fgd))
         )
         cat.write(
             flat_b.repartition(cfg.parallelism, "bucket"),
             "postings_flat",
-            partition_by=["bucket"],
-            sort_by=["term", "doc_id"],
+            partition_by=["bucket", "sgrp"],
+            sort_by=["bucket", "sgrp", "doc_id", "term"],
         )
-        # documents = every eligible turn (incl. zero-lemma ones, absent
-        # from postings_flat) + its doc_len read back from the written flat
-        # table — avoids a second lemmatizer pass just for doc metadata
-        # (single consumer action → the posting-table agg runs exactly once).
-        doc_len = (
+        # documents = every eligible turn; doc_len comes from the marker
+        # partition (one pruned directory, n_docs skinny rows — never a
+        # posting-sized aggregation, never a second lemmatizer pass)
+        markers = (
             cat.read("postings_flat")
-            .groupBy("doc_id")
-            .agg(F.first("doc_len").alias("doc_len"))
+            .filter(F.col("bucket") == MARKER_BUCKET)
+            .select("doc_id", "doc_len")
         )
         docs = (
             ids.withColumn("site", F.split("conv_id", "-").getItem(0))
-            .join(doc_len, "doc_id", "left")
+            .join(markers, "doc_id", "left")
             .fillna(0, subset=["doc_len"])
             .select("doc_id", "conv_id", "turn_idx", "site", "doc_len")
             .withColumn(
@@ -246,7 +260,7 @@ def build_index(
             docs.repartition(cfg.parallelism, "shard"),
             "documents",
             partition_by=["shard"],
-            sort_by=["doc_id"],
+            sort_by=["shard", "doc_id"],
         )
         ids.unpersist()
         d = cat.read("documents")
@@ -263,15 +277,26 @@ def build_index(
     run_stage("documents", ["documents", "postings_flat"], stage_documents)
 
     documents = cat.read("documents")
-    # corpus stats + the dense site map in ONE job (collect_set: site count
-    # is small by the model — a corpus grouping, not a per-doc value)
-    row = documents.agg(
-        F.count("*").alias("n"),
-        F.avg("doc_len").alias("a"),
-        F.array_sort(F.collect_set("site")).alias("sites"),
-    ).collect()[0]
-    res.n_docs, res.avgdl = int(row["n"]), float(row["a"] or 0.0)
-    site_ids = {s: i for i, s in enumerate(row["sites"])}
+    # corpus stats + dense site map + per-site doc-id ranges in ONE job
+    # (site count is small by the model — a corpus grouping, not a per-doc
+    # value). The totals seed index_meta's maintained counters; the ranges
+    # go into the sites table so the searcher init reads NO corpus-sized
+    # table (plans/incremental.py and streaming/ingest.py keep both current).
+    site_rows = (
+        documents.groupBy("site")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("s"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    res.n_docs = sum(int(r["n"]) for r in site_rows)
+    sum_doc_len = sum(int(r["s"] or 0) for r in site_rows)
+    res.avgdl = sum_doc_len / res.n_docs if res.n_docs else 0.0
+    site_stats = {r["site"]: (int(r["lo"]), int(r["hi"])) for r in site_rows}
+    site_ids = {s: i for i, s in enumerate(sorted(site_stats))}
 
     # ---- stage 2: term dictionaries ----------------------------------------
     def stage_terms():
@@ -285,24 +310,33 @@ def build_index(
         )
 
         nb = cfg.n_term_buckets(res.n_docs)
-        flat = cat.read("postings_flat")
-        per_site = term_stats(flat).withColumn(
-            "bucket", term_bucket_col(F.col("term"), nb)
+        # partition pruning skips the MARKER_BUCKET directory entirely
+        flat = cat.read("postings_flat").filter(F.col("bucket") >= 0)
+        # mut_epoch = last mutation sequence that touched the row (0 at
+        # build): the late-data paths stamp updated rows with their mut_seq
+        # and use per-bucket max(mut_epoch) to detect — and skip — buckets a
+        # crashed attempt already incremented (idempotent retries).
+        per_site = (
+            term_stats(flat)
+            .withColumn("bucket", term_bucket_col(F.col("term"), nb))
+            .withColumn("mut_epoch", F.lit(0).cast("long"))
         )
         cat.write(
             per_site.repartition(cfg.parallelism, "bucket"),
             "terms",
             partition_by=["bucket"],
-            sort_by=["term"],
+            sort_by=["bucket", "term"],
         )
-        g = global_term_stats(
-            cat.read("terms"), res.n_docs, cfg.parallelism
-        ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
+        g = (
+            global_term_stats(cat.read("terms"), res.n_docs, cfg.parallelism)
+            .withColumn("bucket", term_bucket_col(F.col("term"), nb))
+            .withColumn("mut_epoch", F.lit(0).cast("long"))
+        )
         cat.write(
             g.repartition(cfg.parallelism, "bucket"),
             "terms_global",
             partition_by=["bucket"],
-            sort_by=["term"],
+            sort_by=["bucket", "term"],
         )
         n_terms = cat.read("terms_global").count()
         return [(0, n_terms, "")]
@@ -311,10 +345,20 @@ def build_index(
 
     # ---- stage 3: compressed posting blocks --------------------------------
     def stage_postings():
-        flat = cat.read("postings_flat")
+        flat = cat.read("postings_flat").filter(F.col("bucket") >= 0)
         sids = site_ids
+        # sites table carries the per-site doc-id ranges (shard-scan pruning
+        # bounds) so the searcher init never scans documents; late-data
+        # paths extend lo/hi incrementally
         cat.write(
-            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
+            tiny_df(
+                spark,
+                sorted(
+                    (s, i, site_stats[s][0], site_stats[s][1])
+                    for s, i in sids.items()
+                ),
+                "site string, sid long, lo long, hi long",
+            ),
             "sites",
         )
         blocks = encode_posting_blocks(
@@ -331,22 +375,33 @@ def build_index(
             blocks.repartition(cfg.parallelism, "shard"),
             "postings",
             partition_by=["shard"],
-            sort_by=["term"],
+            sort_by=["shard", "term"],
         )
-        # freeze the shard geometry: incremental updates and the searcher
-        # must use the build-time shard size, not one re-derived from a
-        # drifting n_docs (doc-range shards are physical layout)
-        meta = tiny_df(
-            spark,
-            [
-                ("shard_size", float(cfg.shard_size(res.n_docs))),
-                ("block_size", float(cfg.block_size)),
-                ("built_n_docs", float(res.n_docs)),
-                ("term_buckets", float(cfg.n_term_buckets(res.n_docs))),
-            ],
-            "key string, value double",
+        # freeze the physical geometry (shard size, bucket count, flat group
+        # width — layout, never re-derived from drifting corpus stats) and
+        # seed the MAINTAINED counters: every late-data path reads corpus
+        # stats from here and commits its increments here LAST (index_meta
+        # is the mutation commit record — catalog.write_meta swaps the
+        # directory atomically, so a crashed append/upsert never publishes
+        # partial counters).
+        _max_tid = cat.read("terms_global").agg(F.max("term_id")).collect()[0][0]
+        max_term_id = int(_max_tid) if _max_tid is not None else -1
+        shard_size = cfg.shard_size(res.n_docs)
+        cat.write_meta(
+            {
+                "shard_size": shard_size,
+                "block_size": cfg.block_size,
+                "built_n_docs": res.n_docs,
+                "term_buckets": cfg.n_term_buckets(res.n_docs),
+                "flat_group_docs": cfg.flat_group_docs(shard_size, res.n_docs),
+                "n_docs": res.n_docs,
+                "sum_doc_len": sum_doc_len,
+                "max_doc_id": res.n_docs - 1,
+                "max_term_id": max_term_id,
+                "mut_seq": 0,
+                "stream_epoch": -1,
+            }
         )
-        cat.write(meta, "index_meta")
         written = cat.read("postings")
         lineage = (
             written.groupBy("shard")

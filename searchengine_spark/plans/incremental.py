@@ -6,23 +6,31 @@ postings and decrement affected lemma dfs (:250-263); re-lemmatize; merge
 lemma dfs (:265-276); append postings. This is the reference's only "late
 data" handling — a synchronous row-level upsert, not streaming (SURVEY §1.4).
 
-Spark-first translation with scale-honest cost bounds — every write below is
-PARTITION-scoped (``catalog.replace_partitions`` = Iceberg
-``overwritePartitions``), never a table rewrite:
+Spark-first translation with scale-honest cost bounds — everything below is
+O(one document), never O(corpus):
 
-- ``postings_flat`` (partitioned by term-hash bucket): rewrite only the
-  buckets of the affected (old ∪ new) terms;
-- ``documents`` (partitioned by doc-range shard): rewrite the doc's shard;
-- ``terms`` / ``terms_global`` (partitioned by term bucket): recompute
-  df/cf for the affected terms, rewrite their buckets. idf is NOT refreshed
-  anywhere — the searcher computes idf at query time from (df, n_docs), so
-  the stored idf column is a build-time snapshot and may go stale freely;
-- ``postings`` blocks (partitioned by shard): re-encode the affected
-  ``(term, shard)`` groups — the doc's shard × (old ∪ new terms + the
-  doc_len/site pseudo-terms) — and rewrite that ONE shard partition. Other
-  blocks keep their (now approximate) block_max_score; the query kernel's
-  pruning bound is derived from immutable block_max_tf + current idf, so
-  pruning stays sound under drift (operators/search.py).
+- corpus stats (n_docs, avgdl) come from index_meta's maintained counters,
+  never from scanning documents; the doc's OLD terms come from one
+  partition-pruned + doc-id-row-group-pruned read of its postings_flat
+  (bucket, sgrp) cells;
+- ``postings_flat`` (partitioned (term-hash bucket, doc-range group)):
+  rewrite only the CELLS (affected bucket × the doc's group) — each
+  corpus/(nb·n_groups) rows — plus the doc's marker cell;
+- ``documents``: rewrite the doc's shard partition;
+- ``terms`` / ``terms_global``: exact ±increments from (old rows, new
+  counts) folded in by ``plans/latedata.apply_term_deltas`` — affected
+  buckets rewritten, stamped with this mutation's mut_seq so a manual retry
+  of a crashed upsert never double-increments. idf refreshes only on
+  updated rows; the searcher recomputes idf at query time anyway;
+- ``postings`` blocks: re-encode the affected ``(term, shard)`` groups —
+  the doc's shard × (old ∪ new terms + the doc_len/site pseudo-terms) —
+  and rewrite that ONE shard partition. Other blocks keep their (now
+  approximate) block_max_score; the query kernel's pruning bound is derived
+  from immutable block_max_tf + current idf, so pruning stays sound under
+  drift (operators/search.py);
+- ``index_meta`` commits the counter updates LAST (atomic swap): a crashed
+  upsert leaves the old watermark, and the retry re-derives the identical
+  mutation (see plans/latedata.py's commit protocol).
 
 Untouched partition files are byte-identical after an upsert
 (``test_incremental_partition_stability``).
@@ -39,13 +47,16 @@ from pyspark.sql import functions as F
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.functions.lemmatize import lemma_counts
 from searchengine_spark.operators.postings import (
+    MARKER_BUCKET,
     encode_posting_blocks,
-    idf_col,
-    term_bucket_col,
     term_bucket_py,
 )
 from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
 from searchengine_spark.plans.build_index import _append_state
+from searchengine_spark.plans.latedata import (
+    apply_term_deltas,
+    update_sites,
+)
 from searchengine_spark.sources.catalog import TableCatalog, tiny_df
 from searchengine_spark.sources.transcripts import site_of_conv
 
@@ -62,51 +73,76 @@ def reindex_turn(
     cfg = cfg or EngineConfig()
     cat = TableCatalog(spark, warehouse)
     t0 = time.time()
-    docs = cat.read("documents")
     site = site_of_conv(conv_id)
 
-    # frozen physical geometry (index_meta): shard size and bucket count are
-    # layout, never re-derived from drifting corpus stats
-    meta = {r["key"]: r["value"] for r in cat.read("index_meta").collect()}
+    # frozen physical geometry + maintained corpus counters (index_meta):
+    # layout is never re-derived, stats are never re-scanned
+    meta = cat.read_meta()
     shard_size = int(meta["shard_size"])
     nb = int(meta.get("term_buckets", cfg.n_term_buckets()))
+    fgd = int(meta.get("flat_group_docs", shard_size))
+    mut_seq = int(meta.get("mut_seq", 0)) + 1
 
+    docs = cat.read("documents")
+    # conv_id isin → parquet row-group pruning (doc ids are assigned in
+    # (conv_id, turn_idx) order, so file-level conv_id min/max are tight)
     existing = docs.filter(
         (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
     ).collect()
     if existing:
         doc_id = int(existing[0]["doc_id"])
+        old_doc_len = int(existing[0]["doc_len"])
+        is_insert = False
     else:
-        doc_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+        doc_id = int(meta["max_doc_id"]) + 1
+        old_doc_len = 0
+        is_insert = True
     dshard = doc_id // shard_size
+    dgrp = doc_id // fgd
 
     counts = lemma_counts(text)
     doc_len = sum(counts.values())
     new_terms = set(counts)
 
     flat = cat.read("postings_flat")
-    old_terms = {
-        r["term"]
-        for r in flat.filter(F.col("doc_id") == doc_id).select("term").collect()
+    # the doc's OLD rows: cell-pruned (sgrp) + doc-id row-group-pruned read
+    old_rows = {
+        r["term"]: int(r["tf"])
+        for r in flat.filter(
+            (F.col("sgrp") == dgrp)
+            & (F.col("bucket") >= 0)
+            & (F.col("doc_id") == doc_id)
+        ).select("term", "tf").collect()
     }
+    old_terms = set(old_rows)
     affected = sorted(old_terms | new_terms)
     abuckets = sorted({term_bucket_py(t, nb) for t in affected})
 
-    # --- postings_flat: rewrite ONLY the affected term buckets --------------
+    # --- postings_flat: rewrite ONLY the affected (bucket, doc-group) cells
+    #     (+ the doc's marker cell — its #doc_len row changes too) ----------
     new_rows = tiny_df(
         spark,
-        [(t, doc_id, site, doc_len, c) for t, c in counts.items()],
-        "term string, doc_id long, site string, doc_len int, tf long",
-    ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
-    keep_rows = flat.filter(
-        F.col("bucket").isin(abuckets) & (F.col("doc_id") != doc_id)
+        [(doc_id, site, doc_len, t, c) for t, c in sorted(counts.items())]
+        + [(doc_id, site, doc_len, DOCLEN_TERM, doc_len)],
+        "doc_id long, site string, doc_len int, term string, tf long",
     )
+    cells = [(b, dgrp) for b in abuckets] + [(MARKER_BUCKET, dgrp)]
+    cell_cond = F.lit(False)
+    for b, _ in cells:
+        cell_cond = cell_cond | (F.col("bucket") == b)
+    keep_rows = flat.filter(
+        cell_cond & (F.col("sgrp") == dgrp) & (F.col("doc_id") != doc_id)
+    ).select("doc_id", "site", "doc_len", "term", "tf")
+    from searchengine_spark.operators.postings import flat_bucket_col, sgrp_col
+
     cat.replace_partitions(
-        keep_rows.unionByName(new_rows),
+        keep_rows.unionByName(new_rows)
+        .withColumn("bucket", flat_bucket_col(F.col("term"), nb))
+        .withColumn("sgrp", sgrp_col(F.col("doc_id"), fgd)),
         "postings_flat",
-        "bucket",
-        abuckets,
-        sort_by=["term", "doc_id"],
+        ["bucket", "sgrp"],
+        sorted(cells),
+        sort_by=["bucket", "sgrp", "doc_id", "term"],
     )
 
     # --- documents: rewrite the doc's shard partition -----------------------
@@ -124,72 +160,33 @@ def reindex_turn(
         "documents",
         "shard",
         [dshard],
-        sort_by=["doc_id"],
+        sort_by=["shard", "doc_id"],
     )
-    documents = cat.read("documents")
-    row = documents.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("a")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["a"])
 
-    # --- terms / terms_global: recompute affected terms, rewrite buckets ----
-    flat = cat.read("postings_flat")
-    aff_flat = flat.filter(
-        F.col("bucket").isin(abuckets) & F.col("term").isin(affected)
-    )
-    g_aff = aff_flat.groupBy("term").agg(
-        F.count("*").alias("df_global"), F.sum("tf").alias("cf_global")
-    )
-    g_old = cat.read("terms_global")
-    # preserve the persistent term dictionary: existing terms KEEP their
-    # term_id; brand-new terms (bounded by one doc's vocabulary) get
-    # max_id+1… appends — ids never shift, so already-encoded blocks in
-    # other shards stay consistent with the dictionary.
-    old_ids = {
-        r["term"]: int(r["term_id"])
-        for r in g_old.filter(
-            F.col("bucket").isin(abuckets) & F.col("term").isin(affected)
-        )
-        .select("term", "term_id")
-        .collect()
-    }
-    next_id = int(
-        g_old.agg(F.max("term_id").alias("m")).collect()[0]["m"] or -1
-    ) + 1
+    # --- corpus counters (maintained, never re-scanned) ---------------------
+    n_docs = int(meta["n_docs"]) + (1 if is_insert else 0)
+    sum_doc_len = int(meta["sum_doc_len"]) - old_doc_len + doc_len
+    avgdl = sum_doc_len / n_docs if n_docs else 0.0
+
+    # --- terms / terms_global: exact ±increments, bucket rewrites -----------
+    deltas = []
     for t in affected:
-        if t not in old_ids:
-            old_ids[t] = next_id
-            next_id += 1
-    id_df = tiny_df(
-        spark, sorted(old_ids.items()), "term string, term_id long"
-    )
-    g_keep = g_old.filter(
-        F.col("bucket").isin(abuckets) & ~F.col("term").isin(affected)
-    ).select("term", "df_global", "cf_global", "idf", "term_id", "bucket")
-    g_new = (
-        g_aff.join(id_df, "term")
-        .withColumn("idf", idf_col(F.col("df_global"), n_docs))
-        .withColumn("bucket", term_bucket_col(F.col("term"), nb))
-        .select("term", "df_global", "cf_global", "idf", "term_id", "bucket")
-    )
-    cat.replace_partitions(
-        g_keep.unionByName(g_new), "terms_global", "bucket", abuckets,
-        sort_by=["term"],
-    )
-
-    s_aff = aff_flat.groupBy("term", "site").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
-    s_keep = cat.read("terms").filter(
-        F.col("bucket").isin(abuckets) & ~F.col("term").isin(affected)
-    ).select("term", "site", "df", "cf", "bucket")
-    cat.replace_partitions(
-        s_keep.unionByName(s_aff.select("term", "site", "df", "cf", "bucket")),
-        "terms",
-        "bucket",
-        abuckets,
-        sort_by=["term"],
-    )
+        d_df = (1 if t in new_terms else 0) - (1 if t in old_terms else 0)
+        d_cf = counts.get(t, 0) - old_rows.get(t, 0)
+        if d_df or d_cf:
+            deltas.append((t, d_df, d_cf))
+    n_vocab = 0
+    if deltas:
+        delta_glob = tiny_df(spark, deltas, "term string, d_df long, d_cf long")
+        delta_site = tiny_df(
+            spark,
+            [(t, site, a, b) for t, a, b in deltas],
+            "term string, site string, d_df long, d_cf long",
+        )
+        n_vocab = apply_term_deltas(
+            cat, delta_site, delta_glob, nb, mut_seq, n_docs,
+            int(meta["max_term_id"]), cfg.parallelism,
+        )
 
     # --- posting blocks: re-encode affected groups, rewrite ONE shard -------
     re_terms = affected + [DOCLEN_TERM, SITE_TERM]
@@ -202,23 +199,18 @@ def reindex_turn(
         F.col("shard").cast("long").alias("shard"),
     )
     lo, hi = dshard * shard_size, (dshard + 1) * shard_size
-    shard_docs = documents.filter(
+    shard_docs = cat.read("documents").filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
     )
     re_flat = cat.read("postings_flat").filter(
-        F.col("bucket").isin(abuckets)
+        (F.col("sgrp") == dgrp)
+        & F.col("bucket").isin(abuckets)
         & F.col("term").isin(affected)
         & (F.col("doc_id") >= lo)
         & (F.col("doc_id") < hi)
     )
     cfg_frozen = dataclasses.replace(cfg, docs_per_shard=shard_size)
-    sids = {r["site"]: int(r["sid"]) for r in cat.read("sites").collect()}
-    if site not in sids:  # new sites append ids — existing ids never shift
-        sids[site] = max(sids.values(), default=-1) + 1
-        cat.replace(
-            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
-            "sites",
-        )
+    sids = update_sites(cat, {site: (doc_id, doc_id)})
     re_blocks = encode_posting_blocks(
         re_flat, n_docs, avgdl, cat.read("terms_global"), cfg_frozen,
         documents=shard_docs, site_ids=sids,
@@ -228,8 +220,20 @@ def reindex_turn(
         "postings",
         "shard",
         [dshard],
-        sort_by=["term"],
+        sort_by=["shard", "term"],
     )
+
+    # --- commit: counters last (atomic swap — see latedata protocol) --------
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "sum_doc_len": sum_doc_len,
+            "max_doc_id": max(int(meta["max_doc_id"]), doc_id),
+            "max_term_id": int(meta["max_term_id"]) + n_vocab,
+            "mut_seq": mut_seq,
+        }
+    )
+    cat.write_meta(meta)
 
     _append_state(
         cat,

@@ -109,12 +109,15 @@ class TableCatalog:
         final = self.path(name)
         shutil.rmtree(final, ignore_errors=True)
         shutil.move(tmp, final)
+        # the swap bypassed Spark's writers: drop the stale file-listing
+        # cache or later scans enumerate the removed files
+        self.spark.catalog.refreshByPath(final)
 
     def replace_partitions(
         self,
         df: DataFrame,
         name: str,
-        partition_col: str,
+        partition_col: str | list[str],
         partition_values: list,
         sort_by: list[str] | None = None,
     ) -> None:
@@ -123,9 +126,11 @@ class TableCatalog:
         M1 incremental-upsert primitive; ``IndexingThread.java:199-224``
         deletes+reinserts one page's rows, here one partition's files).
 
-        Every partition in ``partition_values`` is removed; partitions of
-        that list present in ``df`` are rewritten; untouched partitions'
-        files are NEVER rewritten (asserted byte-identical by
+        ``partition_col`` may be a list for multi-level layouts (e.g.
+        postings_flat's (bucket, sgrp) cells); ``partition_values`` is then a
+        list of tuples. Every named partition is removed; partitions of that
+        list present in ``df`` are rewritten; untouched partitions' files are
+        NEVER rewritten (asserted byte-identical by
         ``test_incremental_partition_stability``). ``df`` must contain only
         rows belonging to the named partitions. Parquet backend: write to a
         temp dir first (the inputs may read the very files being replaced),
@@ -138,20 +143,71 @@ class TableCatalog:
             return
         import shutil
 
+        cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         tmp = self.path(f"{name}__ptmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        df.write.mode("overwrite").partitionBy(*cols).parquet(tmp)
         final = self.path(name)
         for v in partition_values:
-            sub = f"{partition_col}={v}"
+            vals = (v,) if not isinstance(v, (tuple, list)) else tuple(v)
+            sub = os.path.join(*(f"{c}={x}" for c, x in zip(cols, vals)))
             dst = os.path.join(final, sub)
             shutil.rmtree(dst, ignore_errors=True)
             src = os.path.join(tmp, sub)
             if os.path.isdir(src):  # absent → partition is now empty
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.move(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+        # the swap bypassed Spark's writers: drop the stale file-listing
+        # cache or later scans enumerate the removed files
+        self.spark.catalog.refreshByPath(final)
+
+    def read_partitions(self, name: str, subdirs: list[str]) -> DataFrame | None:
+        """Read ONLY the named partition subdirectories (e.g.
+        ``["bucket=3/sgrp=7"]``) of a partitioned table — unlike a filtered
+        ``read()``, not even schema inference touches any other file. Used by
+        the streaming recovery fence so an append provably reads zero
+        non-tail postings_flat files. Returns None when none of the
+        directories exist (→ nothing to read). Iceberg backend: snapshot
+        metadata gives file-level pruning, so a filtered table read is the
+        same thing — callers apply their partition predicate on top."""
+        if self.iceberg_catalog:
+            return self.spark.read.table(self._ident(name))
+        base = self.path(name)
+        paths = [os.path.join(base, d) for d in subdirs]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", base).parquet(*paths)
+
+    def partition_dirs(self, name: str) -> list[str]:
+        """Top-level ``col=value`` partition directory names of a parquet
+        table (driver-side fs listing — no Spark job)."""
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return []
+        return [d for d in os.listdir(p) if "=" in d and os.path.isdir(os.path.join(p, d))]
+
+    # -- index_meta: frozen geometry + maintained corpus counters -------------
+    # The counters (n_docs, sum_doc_len, max_doc_id, max_term_id, mut_seq)
+    # make every late-data path O(batch): corpus stats are never re-scanned
+    # from the per-doc/posting tables. index_meta is also the COMMIT RECORD
+    # of a mutation — it is written last, via an atomic directory swap, so a
+    # crashed append/upsert leaves the old counters in place and the retry's
+    # recovery fence can identify (and drop) the orphan rows above
+    # max_doc_id and the terms buckets already stamped with its mut_seq.
+    def read_meta(self) -> dict[str, float]:
+        return {r["key"]: r["value"] for r in self.read("index_meta").collect()}
+
+    def write_meta(self, meta: dict[str, float]) -> None:
+        df = tiny_df(
+            self.spark,
+            sorted((k, float(v)) for k, v in meta.items()),
+            "key string, value double",
+        )
+        self.replace(df, "index_meta")
 
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:

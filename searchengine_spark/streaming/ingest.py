@@ -4,19 +4,45 @@ The reference's only late-data path is the synchronous single-page upsert
 (``POST /api/indexPage``, ``indexing/IndexingThread.java:199-224``); at
 10^12-turn scale late data arrives as FILES, so this module wires the same
 append semantics into Structured Streaming: ``readStream`` over a transcript
-directory → ``foreachBatch`` → :func:`append_turns` (exactly-once per batch
-via the streaming checkpoint + the idempotent left-anti dedup against the
-documents table).
+directory → ``foreachBatch`` → :func:`append_turns`.
 
-Cost shape per micro-batch — O(batch), independent of corpus size:
-- new doc ids continue from max(doc_id), ABOVE every already-encoded id, so
-  the batch's posting blocks APPEND after the existing (term, shard) blocks
-  (disjoint doc ranges; the query kernel merges blocks by min_doc) — no
-  existing block file is read or rewritten;
+Exactly-once, spelled out (foreachBatch itself is at-least-once — the same
+epoch replays with identical data after a crash; the sink must be
+idempotent per epoch):
+
+- index_meta is the commit record, written LAST (atomic swap). A fully
+  committed epoch replay short-circuits on ``meta.stream_epoch``.
+- A PARTIALLY committed epoch (crash mid-batch) is repaired by
+  :func:`latedata.fence_orphans`: every appended row carries doc_id above
+  the committed watermark, so the retry drops the orphans from the tail
+  partitions and redoes the batch byte-identically (same base_id, same
+  term ids — both derived from the unchanged meta).
+- terms/terms_global increments are stamped with the mutation's mut_seq;
+  the retry skips buckets the crashed attempt already committed
+  (``latedata.apply_term_deltas``).
+- intra-batch duplicate (conv_id, turn_idx) rows (e.g. overlapping input
+  files in one trigger) are collapsed to a deterministic winner (latest
+  ts, then lexically greatest text) — a replayed batch picks the same one.
+  Cross-batch re-delivered keys are dropped against the documents table.
+
+Cost shape per micro-batch — O(batch + query-pruned reads), never O(corpus):
+
+- corpus stats and id watermarks come from index_meta's counters (no
+  max/count scans of documents);
+- the already-indexed-key check filters documents by the batch's conv_ids
+  (collected, micro-batch-bounded) — parquet row-group conv_id min/max
+  stats prune the scan (ids are assigned in conv order); no corpus shuffle;
+- new doc ids continue from the watermark, ABOVE every already-encoded id,
+  so the batch's posting blocks APPEND after the existing (term, shard)
+  blocks (disjoint doc ranges; the query kernel merges blocks by min_doc)
+  — no existing block file is read or rewritten;
 - ``postings_flat`` / ``documents`` take pure file APPENDS into their
   partition directories;
-- ``terms`` / ``terms_global`` rewrite only the batch vocabulary's buckets
-  (vocabulary-sized);
+- ``terms`` / ``terms_global`` advance by INCREMENT (append-only ⇒
+  df' = df + batch_df, cf' = cf + batch_cf), computed from the batch's own
+  lemma maps — an append reads ZERO postings_flat data files beyond the
+  recovery fence's tail-cell probe (asserted by
+  ``test_append_reads_no_flat_files``);
 - every existing file of every table is untouched (append-only + bucket
   replaces).
 
@@ -24,28 +50,34 @@ Cost shape per micro-batch — O(batch), independent of corpus size:
 continuous trigger serves a live feed. Watermarks/stateful operators are
 unnecessary — ingestion is append-only keyed by (conv_id, turn_idx); input
 rows that duplicate an already-indexed key are DROPPED (the upsert path for
-changed text is ``reindex_turn``).
+changed text is ``reindex_turn``). Repeated small appends leave ≤1
+under-filled block per (term, shard) per batch — ``plans.compaction``
+squashes them without touching text.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.operators.doc_ids import assign_doc_ids
 from searchengine_spark.operators.postings import (
     encode_posting_blocks,
+    flat_bucket_col,
     flat_postings,
-    idf_col,
     lemmatize_transcripts,
-    term_bucket_col,
-    term_bucket_py,
+    counts_with_marker,
+    sgrp_col,
 )
-from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
-from searchengine_spark.sources.catalog import TableCatalog, tiny_df
+from searchengine_spark.plans.latedata import (
+    apply_term_deltas,
+    fence_orphans,
+    update_sites,
+)
+from searchengine_spark.sources.catalog import TableCatalog
 from searchengine_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
 
@@ -54,28 +86,56 @@ def append_turns(
     warehouse: str,
     transcripts: DataFrame,
     cfg: EngineConfig | None = None,
+    epoch: int | None = None,
 ) -> int:
     """Append a batch of NEW turns to an existing index; returns the number
     of documents added. Turns whose (conv_id, turn_idx) already exist are
     dropped (idempotent re-delivery; use ``reindex_turn`` to change text).
-    """
+    ``epoch`` is the streaming micro-batch id — committed epochs replay as
+    no-ops; partial commits are repaired then redone (module docstring)."""
     cfg = cfg or EngineConfig()
     cat = TableCatalog(spark, warehouse)
-    meta = {r["key"]: r["value"] for r in cat.read("index_meta").collect()}
+    meta = cat.read_meta()
+    if epoch is not None and int(meta.get("stream_epoch", -1)) >= epoch:
+        return 0  # fully committed epoch replayed by the checkpoint
     shard_size = int(meta["shard_size"])
     nb = int(meta.get("term_buckets", cfg.n_term_buckets()))
+    fgd = int(meta.get("flat_group_docs", shard_size))
+    base_id = int(meta["max_doc_id"]) + 1
+    mut_seq = int(meta.get("mut_seq", 0)) + 1
 
-    docs = cat.read("documents")
-    base_id = int(docs.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+    # repair a crashed attempt's partial appends (no-op in the happy path:
+    # three partition-pruned probes of the tail shards/cells)
+    fence_orphans(cat, base_id, shard_size, fgd)
 
-    lemmed = lemmatize_transcripts(transcripts)
-    new_docs_keys = lemmed.select(
-        "conv_id", "turn_idx", "site", "doc_len"
-    ).join(
-        docs.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    # deterministic winner for intra-batch duplicate keys: latest ts, then
+    # lexically greatest text (a replayed epoch re-picks the same row);
+    # cross-batch duplicates fail loudly only in the batch BUILD path (M4)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("text").desc_nulls_last()
     )
+    batch = (
+        transcripts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    lemmed = lemmatize_transcripts(batch)
+    # already-indexed keys: prune the documents scan to the batch's convs
+    # (driver list, micro-batch-bounded) → row-group conv_id stats skip
+    # nearly every file; the anti-join's right side is then tiny
+    batch_keys = lemmed.select("conv_id", "turn_idx", "site", "doc_len")
+    convs = [r["conv_id"] for r in lemmed.select("conv_id").distinct().collect()]
+    if not convs:
+        if epoch is not None:
+            meta["stream_epoch"] = epoch
+            cat.write_meta(meta)
+        return 0
+    docs = cat.read("documents")
+    seen = docs.filter(F.col("conv_id").isin(convs)).select("conv_id", "turn_idx")
+    new_keys = batch_keys.join(seen, ["conv_id", "turn_idx"], "left_anti")
     ids = assign_doc_ids(
-        new_docs_keys, parallelism=cfg.parallelism, expect_unique=True
+        new_keys, parallelism=cfg.parallelism, expect_unique=False
     ).withColumn("doc_id", F.col("doc_id") + F.lit(base_id))
     # PIN the assignment before any write: its lineage anti-joins the
     # documents table, and appending to that table invalidates the cached
@@ -86,130 +146,84 @@ def append_turns(
     ids = ids.localCheckpoint(eager=True)
     n_new = ids.count()
     if n_new == 0:
+        if epoch is not None:
+            meta["stream_epoch"] = epoch
+            cat.write_meta(meta)
         return 0
 
-    # --- documents: pure file append into the tail shard partitions --------
+    # --- batch posting rows (incl. #doc_len markers), O(batch) --------------
+    rows = lemmed.select(
+        "conv_id", "turn_idx", "site", "doc_len",
+        F.explode(counts_with_marker()).alias("term", "tf"),
+    ).join(F.broadcast(ids.select("conv_id", "turn_idx", "doc_id")),
+           ["conv_id", "turn_idx"])
+    flat_new = (
+        flat_postings(rows)
+        .withColumn("bucket", flat_bucket_col(F.col("term"), nb))
+        .withColumn("sgrp", sgrp_col(F.col("doc_id"), fgd))
+    )
+    # one materialization of the batch's postings: feeds the flat append,
+    # the term deltas, and the block encode without re-running the
+    # lemmatizer (plans are not shared across actions)
+    flat_new = flat_new.localCheckpoint(eager=True)
+
+    # --- postings_flat / documents: pure file appends ------------------------
+    cat.write(flat_new, "postings_flat", mode="append",
+              partition_by=["bucket", "sgrp"],
+              sort_by=["bucket", "sgrp", "doc_id", "term"])
     docs_new = ids.select(
         "doc_id", "conv_id", "turn_idx", "site", "doc_len"
     ).withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("long"))
     cat.write(docs_new, "documents", mode="append", partition_by=["shard"],
-              sort_by=["doc_id"])
+              sort_by=["shard", "doc_id"])
 
-    # --- postings_flat: append the batch's posting rows ---------------------
-    rows = lemmed.select(
-        "conv_id", "turn_idx", "site", "doc_len",
-        F.explode("counts").alias("term", "tf"),
-    ).join(F.broadcast(ids.select("conv_id", "turn_idx", "doc_id")),
-           ["conv_id", "turn_idx"])
-    flat_new = flat_postings(rows).withColumn(
-        "bucket", term_bucket_col(F.col("term"), nb)
-    )
-    cat.write(flat_new, "postings_flat", mode="append",
-              partition_by=["bucket"], sort_by=["term", "doc_id"])
-
-    # --- terms / terms_global: rewrite the batch vocabulary's buckets -------
-    # affected terms come from the BATCH's own lemma maps (micro-batch
-    # sized) — never from scanning the corpus-wide flat table (doc_id is
-    # not its partition key, so that join could not prune anything)
-    flat = cat.read("postings_flat")
-    affected = sorted(
-        r["term"]
-        for r in lemmed.join(
-            F.broadcast(ids.select("conv_id", "turn_idx")),
-            ["conv_id", "turn_idx"],
-        )
-        .select(F.explode(F.map_keys("counts")).alias("term"))
-        .distinct()
-        .collect()
-    )
-    abuckets = sorted({term_bucket_py(t, nb) for t in affected})
-    documents = cat.read("documents")
-    row = documents.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("a")
+    # --- corpus counters (maintained, no documents scan) ---------------------
+    agg = flat_new.filter(F.col("bucket") < 0).agg(
+        F.sum("tf").alias("s")
     ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["a"])
+    batch_sum_dl = int(agg["s"] or 0)
+    n_docs = int(meta["n_docs"]) + n_new
+    sum_doc_len = int(meta["sum_doc_len"]) + batch_sum_dl
+    avgdl = sum_doc_len / n_docs if n_docs else 0.0
 
-    aff_flat = flat.filter(
-        F.col("bucket").isin(abuckets) & F.col("term").isin(affected)
-    )
-    g_old = cat.read("terms_global")
-    old_ids = {
-        r["term"]: int(r["term_id"])
-        for r in g_old.filter(
-            F.col("bucket").isin(abuckets) & F.col("term").isin(affected)
-        ).select("term", "term_id").collect()
+    # --- sites: merge ranges / append new sids (tiny table) ------------------
+    site_ranges = {
+        r["site"]: (int(r["lo"]), int(r["hi"]))
+        for r in docs_new.groupBy("site").agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()
     }
-    next_id = int(g_old.agg(F.max("term_id")).collect()[0][0] or -1) + 1
-    for t in affected:
-        if t not in old_ids:
-            old_ids[t] = next_id
-            next_id += 1
-    id_df = tiny_df(
-        spark, sorted(old_ids.items()), "term string, term_id long"
+    sids = update_sites(cat, site_ranges)
+
+    # --- terms / terms_global: increment from the batch itself ---------------
+    # (append-only ⇒ df' = df + batch_df; reads NOTHING posting-sized)
+    real = flat_new.filter(F.col("bucket") >= 0)
+    delta_site = real.groupBy("term", "site").agg(
+        F.count("*").alias("d_df"), F.sum("tf").alias("d_cf")
     )
-    g_aff = aff_flat.groupBy("term").agg(
-        F.count("*").alias("df_global"), F.sum("tf").alias("cf_global")
+    delta_glob = real.groupBy("term").agg(
+        F.count("*").alias("d_df"), F.sum("tf").alias("d_cf")
     )
-    g_keep = g_old.filter(
-        F.col("bucket").isin(abuckets) & ~F.col("term").isin(affected)
-    ).select("term", "df_global", "cf_global", "idf", "term_id", "bucket")
-    g_new = (
-        g_aff.join(id_df, "term")
-        .withColumn("idf", idf_col(F.col("df_global"), n_docs))
-        .withColumn("bucket", term_bucket_col(F.col("term"), nb))
-        .select("term", "df_global", "cf_global", "idf", "term_id", "bucket")
-    )
-    cat.replace_partitions(
-        g_keep.unionByName(g_new), "terms_global", "bucket", abuckets,
-        sort_by=["term"],
-    )
-    s_aff = aff_flat.groupBy("term", "site").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).withColumn("bucket", term_bucket_col(F.col("term"), nb))
-    s_keep = cat.read("terms").filter(
-        F.col("bucket").isin(abuckets) & ~F.col("term").isin(affected)
-    ).select("term", "site", "df", "cf", "bucket")
-    cat.replace_partitions(
-        s_keep.unionByName(s_aff.select("term", "site", "df", "cf", "bucket")),
-        "terms",
-        "bucket",
-        abuckets,
-        sort_by=["term"],
+    n_vocab = apply_term_deltas(
+        cat, delta_site, delta_glob, nb, mut_seq, n_docs,
+        int(meta["max_term_id"]), cfg.parallelism,
     )
 
     # --- posting blocks: encode the BATCH's postings, APPEND after the ------
     # existing blocks. Every new doc_id is ABOVE every already-encoded
-    # doc_id (ids are max+1… appends), so the new blocks' doc ranges are
-    # disjoint from and after all existing (term, shard) blocks — the query
-    # kernel concatenates blocks in min_doc order, which stays a sorted
-    # posting list. Existing block FILES are never read or rewritten; the
-    # only corpus-sized state touched is a partition-PRUNED metadata read
-    # of the touched shards' (term, block_id) pairs for id continuation.
-    # Micro-batch cost is therefore O(batch), independent of corpus size.
-    # (Repeated small appends leave ≤1 under-filled block per term per
-    # batch — a background compaction = reindex of the shard via
-    # replace_partitions squashes them; the kernel is count-agnostic.)
+    # doc_id, so the new blocks' doc ranges are disjoint from and after all
+    # existing (term, shard) blocks — the query kernel concatenates blocks
+    # in min_doc order, which stays a sorted posting list. Existing block
+    # FILES are never read or rewritten; the only corpus-sized state touched
+    # is a partition-PRUNED metadata read of the touched shards'
+    # (term, block_id) pairs for id continuation.
     new_shards = sorted(
         r["shard"]
-        for r in docs_new.select(
-            (F.col("doc_id") / F.lit(shard_size)).cast("long").alias("shard")
-        ).distinct().collect()
+        for r in docs_new.select("shard").distinct().collect()
     )
-    sids = {r["site"]: int(r["sid"]) for r in cat.read("sites").collect()}
-    new_sites = sorted(
-        set(r["site"] for r in ids.select("site").distinct().collect()) - set(sids)
-    )
-    if new_sites:  # ids append — existing ids never shift
-        for s in new_sites:
-            sids[s] = max(sids.values(), default=-1) + 1
-        cat.replace(
-            tiny_df(spark, sorted(sids.items()), "site string, sid long"),
-            "sites",
-        )
     cfg_frozen = dataclasses.replace(cfg, docs_per_shard=shard_size)
-    batch_flat = flat_new.drop("bucket")
     new_blocks = encode_posting_blocks(
-        batch_flat, n_docs, avgdl, cat.read("terms_global"), cfg_frozen,
+        real, n_docs, avgdl, cat.read("terms_global"), cfg_frozen,
         documents=docs_new.select("doc_id", "conv_id", "turn_idx", "site", "doc_len"),
         site_ids=sids,
     )
@@ -229,8 +243,22 @@ def append_turns(
     )
     cat.write(
         appended, "postings", mode="append", partition_by=["shard"],
-        sort_by=["term"],
+        sort_by=["shard", "term"],
     )
+
+    # --- commit: counters last (atomic swap) ---------------------------------
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "sum_doc_len": sum_doc_len,
+            "max_doc_id": base_id + n_new - 1,
+            "max_term_id": int(meta["max_term_id"]) + n_vocab,
+            "mut_seq": mut_seq,
+        }
+    )
+    if epoch is not None:
+        meta["stream_epoch"] = epoch
+    cat.write_meta(meta)
 
     return int(n_new)
 
@@ -248,8 +276,10 @@ def stream_transcripts(
 
     ``available_now=True`` processes everything currently in the directory
     then stops (incremental catch-up); ``False`` keeps listening with the
-    default micro-batch trigger. The checkpoint dir gives exactly-once file
-    tracking across restarts (M3's resume semantics for the stream)."""
+    default micro-batch trigger. The checkpoint dir tracks consumed files
+    across restarts (M3's resume semantics for the stream); exactly-once
+    comes from :func:`append_turns`'s epoch-keyed idempotence on top of the
+    checkpoint's replay."""
     cfg = cfg or EngineConfig()
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
@@ -258,7 +288,7 @@ def stream_transcripts(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        append_turns(spark, warehouse, batch_df, cfg)
+        append_turns(spark, warehouse, batch_df, cfg, epoch=int(epoch_id))
 
     writer = src.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -293,3 +293,34 @@ def test_simhash_pairs_hamming_neighbors(spark):
     )
     bp = dedup.simhash_pairs(big, bits=16, max_hamming=3).toPandas()
     assert len(bp) == 999 and set(bp["a"]) == {0}
+
+
+def test_star_pairing_plans_contain_no_window(spark):
+    """Round-3 hot-bucket physical fix: the candidate-pair generators must
+    compile to groupBy + join (map-side partial min, hash-join fan-out) —
+    NEVER min().over(Window.partitionBy(bucket)), which buffers a degenerate
+    bucket in one task. Asserted on the optimized physical plans; pair
+    results stay the identical star shape."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200),
+                      "text": ["identical boilerplate text"] * 200})
+    )
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50),
+                      "embedding": [[1.0, 2.0, -1.0, 0.5] * 16] * 50})
+    )
+    plans = {
+        "exact": dedup.exact_duplicates(docs),
+        "minhash": dedup.minhash_lsh_pairs(docs),
+        "simhash": dedup.simhash_pairs(docs, bits=16, max_hamming=3),
+        "embed": ann.lsh_bucket_pairs(vecs, threshold=0.0, n_bits=8),
+    }
+    for name, df in plans.items():
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in physical, name
+    mh = plans["minhash"].toPandas()
+    assert len(mh) == 199 and set(mh["a"]) == {0}
+    em = plans["embed"].toPandas()
+    assert len(em) == 49 and set(em["a"]) == {0}

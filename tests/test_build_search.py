@@ -133,7 +133,7 @@ def test_conservation_invariants(engine, oracle):
     """Σ per-site df == per-term distinct docs; Σ tf == total lemma count of
     eligible turns (SURVEY §5.3)."""
     cat = engine.catalog
-    flat = cat.read("postings_flat")
+    flat = cat.read("postings_flat").filter(F.col("bucket") >= 0)
     terms = cat.read("terms")
     # df conservation
     df_from_flat = flat.groupBy("term", "site").agg(

@@ -219,12 +219,11 @@ def test_incremental_partition_stability(spark, small_corpus):
     new_text = "pstabmarker " + str(row["text"])
     doc_id = eng.reindex_turn(str(row["conv_id"]), int(row["turn_idx"]), new_text)
 
-    meta = {
-        r["key"]: r["value"] for r in eng.catalog.read("index_meta").collect()
-    }
+    meta = eng.catalog.read_meta()
     shard_size, nb = int(meta["shard_size"]), int(meta["term_buckets"])
     dshard = doc_id // shard_size
-    flat = eng.catalog.read("postings_flat")
+    dgrp = doc_id // int(meta["flat_group_docs"])
+    flat = eng.catalog.read("postings_flat").filter(F.col("bucket") >= 0)
     affected_terms = {
         r["term"]
         for r in flat.filter(F.col("doc_id") == doc_id).select("term").collect()
@@ -248,7 +247,17 @@ def test_incremental_partition_stability(spark, small_corpus):
     for t in ["postings", "documents"]:
         for p in changed[t]:
             assert p == "_SUCCESS" or f"shard={dshard}" in p, (t, p)
-    for t in ["postings_flat", "terms", "terms_global"]:
+    # flat rewrites are CELL-scoped: an affected term bucket (or the
+    # doc_len marker bucket) AND the doc's own doc-range group — never a
+    # whole bucket across groups (the round-2 scale-honesty gap)
+    for p in changed["postings_flat"]:
+        if p == "_SUCCESS":
+            continue
+        assert any(
+            f"bucket={b}/" in p for b in changeable_buckets | {-1}
+        ), ("postings_flat", p)
+        assert f"sgrp={dgrp}/" in p, ("postings_flat", p)
+    for t in ["terms", "terms_global"]:
         for p in changed[t]:
             assert p == "_SUCCESS" or any(
                 f"bucket={b}" in p for b in changeable_buckets

@@ -65,6 +65,29 @@ def test_snippet_multi_window_joined_with_ellipsis():
     assert len(snip.split()) < 60
 
 
+def test_snippet_spanning_goldens_match_reference_arithmetic():
+    """Pin the multi-window part boundaries to getSnippetParts' arithmetic
+    (LemmaSearcherImpl.java:216-233): k=2 chosen positions at 5 and 60 with
+    window=40 give offset = 40//2//2 = 10 → tail part [50, 69) (around
+    pos 60), then length = max(40−20+1, 0) = 21 covers the remaining
+    cluster → head part [0, 14) (5−10 clamped to 0 .. 5+10−1), joined in
+    document order."""
+    # letter-only words; positions 5 and 60 carry the query terms
+    words = [f"w{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}{chr(97 + (i * 3) % 26)}" for i in range(100)]
+    words[5] = "alphaword"
+    words[60] = "betaword"
+    text = " ".join(words)
+    snip = make_snippet(text, {"alphaword", "betaword"}, window=40)
+    head = " ".join(
+        w if i != 5 else "<b>alphaword</b>" for i, w in enumerate(words[0:14])
+    )
+    tail = " ".join(
+        w if i + 50 != 60 else "<b>betaword</b>"
+        for i, w in enumerate(words[50:69])
+    )
+    assert snip == f"{head} ... {tail} ..."
+
+
 def test_snippet_single_window_when_clustered():
     text = "start alphaword mid betaword end " + " ".join(
         f"f{i}" for i in range(100)
