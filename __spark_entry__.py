@@ -52,6 +52,7 @@ ANN_PROBES = [0, 1, 2, 3, 4]
 ANN_K = 10
 JACCARD_N, JACCARD_TAU = 3, 0.2
 EMBED_TAU = 0.1
+EMBED_DIM = 64  # testdata embeddings.parquet width (TESTDATA.md)
 # 8 bits (vs the module's 16-bit default) at sf-test scale: 500 vectors
 # need coarser buckets to produce a meaningful candidate set; production
 # keeps 16+ bits so bucket count scales with the corpus
@@ -206,9 +207,12 @@ def q_search_ref(spark, sf_dir):
 
 
 def q_search_bm25(spark, sf_dir):
-    """BM25 top-20 through block-max WAND."""
+    """BM25 top-20 through block-max WAND (pruned count opt-in — the page
+    is identical to the exact path; only the count decode is skipped)."""
     eng = _engine(spark, sf_dir)
-    page, _ = eng.search(" ".join(BM25_QUERY_TERMS), mode="bm25", limit=TOP_K)
+    page, _ = eng.search(
+        " ".join(BM25_QUERY_TERMS), mode="bm25", limit=TOP_K, exact_count=False
+    )
     pdf = page.copy()
     pdf["doc_id"] = [int(c.split("-")[1]) for c in pdf["conv_id"]]
     pdf["score"] = pdf["score"].round(5)
@@ -296,17 +300,22 @@ def q_ann_ivf(spark, sf_dir):
 def q_lsh_buckets(spark, sf_dir):
     """Seeded random-hyperplane LSH bucket histogram (n_bits × n_tables)."""
     return (
-        ann.lsh_sign_buckets(_embeddings(spark, sf_dir), n_bits=ENTRY_LSH_BITS)
+        ann.lsh_sign_buckets(
+            _embeddings(spark, sf_dir), n_bits=ENTRY_LSH_BITS, dim=EMBED_DIM
+        )
         .groupBy("lsh_table", "bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Near-dup pairs from shared LSH buckets, star-paired (hot-bucket
-    guard), cosine-verified."""
+    """Near-dup pairs from shared LSH buckets (all-pairs in small buckets,
+    canonical-star in degenerate ones), cosine-verified."""
     return ann.lsh_bucket_pairs(
-        _embeddings(spark, sf_dir), threshold=EMBED_TAU, n_bits=ENTRY_LSH_BITS
+        _embeddings(spark, sf_dir),
+        threshold=EMBED_TAU,
+        n_bits=ENTRY_LSH_BITS,
+        dim=EMBED_DIM,
     )
 
 
@@ -504,6 +513,27 @@ def _bk_cte() -> str:
     return f"bk as (\n{branches}\n)"
 
 
+def _pair_cand_cte(src: str, bucket_cols: list[str], id_col: str) -> str:
+    """psz/cand CTEs mirroring dedup.star_pairs: all pairs inside buckets of
+    ≤ STAR_PAIRS_CAP members (exact LSH candidate recall), canonical-star
+    pairs for degenerate buckets above the cap."""
+    bc = ", ".join(bucket_cols)
+    cap = dedup.STAR_PAIRS_CAP
+    return f"""psz as (select {bc}, count(*) as _cnt, min({id_col}) as _canon
+       from {src} group by {bc}),
+cand as (
+  select distinct a, b from (
+    select x.{id_col} as a, y.{id_col} as b
+    from {src} x join {src} y using ({bc}) join psz s using ({bc})
+    where s._cnt <= {cap} and x.{id_col} < y.{id_col}
+    union all
+    select s._canon as a, x.{id_col} as b
+    from {src} x join psz s using ({bc})
+    where s._cnt > {cap} and x.{id_col} <> s._canon
+  )
+)"""
+
+
 def _ref_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in REF_QUERY_TERMS)
 
@@ -655,11 +685,9 @@ sig as (
 ),
 banded as (
 {band_selects}
-)
-select distinct a, b from (
-  select min(doc_id) over (partition by band, band_key) as a, doc_id as b
-  from banded
-) where b <> a
+),
+{_pair_cand_cte("banded", ["band", "band_key"], "doc_id")}
+select a, b from cand
 """,
         "q_simhash": f"""
 with {_WRD},
@@ -677,12 +705,7 @@ sig as (
 bands as (
 {" union all ".join(f"  select doc_id, {c} as band, (simhash >> {c * 4}) & 15 as key from sig" for c in range(4))}
 ),
-cand as (
-  select distinct a, b from (
-    select min(doc_id) over (partition by band, key) as a, doc_id as b
-    from bands
-  ) where b <> a
-)
+{_pair_cand_cte("bands", ["band", "key"], "doc_id")}
 select c.a, c.b,
        cast(bit_count(xor(sa.simhash, sb.simhash)) as int) as hamming
 from cand c
@@ -809,13 +832,7 @@ from bk group by 1, 2
         "q_embed_neardup": f"""
 with {_EFLAT},
 {_bk_cte()},
-cand as (
-  select distinct a, b from (
-    select min(vec_id) over (partition by lsh_table, bucket) as a,
-           vec_id as b
-    from bk
-  ) where b <> a
-),
+{_pair_cand_cte("bk", ["lsh_table", "bucket"], "vec_id")},
 dots as (
   select c.a, c.b, sum(cast(fa.v as double) * cast(fb.v as double)) as dot
   from cand c

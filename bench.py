@@ -68,11 +68,14 @@ def main() -> None:
         lambda: eng.search(" ".join(entrymod.REF_QUERY_TERMS), mode="reference"),
         reps=REPS,
     )
-    # search_bm25 = the DEFAULT path (block-max WAND, lower-bound count);
-    # search_bm25_exact opts into full decode for the exact candidate count
+    # search_bm25 = the pruned serving path (block-max WAND, lower-bound
+    # count, exact_count=False opt-in); search_bm25_exact = the public-API
+    # default (exact candidate count, full decode of query-term postings)
     timed(
         "search_bm25",
-        lambda: eng.search(" ".join(entrymod.BM25_QUERY_TERMS), mode="bm25"),
+        lambda: eng.search(
+            " ".join(entrymod.BM25_QUERY_TERMS), mode="bm25", exact_count=False
+        ),
         reps=REPS,
     )
     timed(

@@ -150,12 +150,24 @@ def lsh_sign_buckets(
     seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, lsh_table, bucket): seeded random-hyperplane LSH over the full
     vector (Charikar sign-random-projection), ``n_tables`` independent
     tables. P[same bucket] = (1 − θ/π)^n_bits per table — n_bits trades
-    recall vs bucket size, n_tables recovers recall."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    recall vs bucket size, n_tables recovers recall.
+
+    Pass ``dim`` when known (callers usually know their embedding width) —
+    probing it costs an eager ``first()`` Spark job per call. When omitted
+    it is probed once here; an empty input returns an empty result rather
+    than failing the probe."""
+    if dim is None:
+        row = embeddings.select(vec_col).first()
+        if row is None or row[0] is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id long, lsh_table int, bucket long"
+            )
+        dim = len(row[0])
     planes = random_hyperplanes(n_bits, dim, n_tables, seed)
     tables = [
         embeddings.select(
@@ -310,20 +322,22 @@ def lsh_bucket_pairs(
     seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """(a, b, cosine): near-neighbor pairs (a = the bucket's canonical =
-    min vec_id, a < b), star-paired within each (table, bucket), deduped
-    across tables, verified by exact cosine ≥ threshold.
+    """(a, b, cosine): near-neighbor pairs (a < b) from each (table, bucket),
+    deduped across tables, verified by exact cosine ≥ threshold.
 
-    Star-pairing is the hot-bucket guard: a bucket of m vectors emits m−1
-    pairs (pair count is O(n) corpus-wide), so identical/boilerplate
-    embeddings cannot blow up the verify join — the same skewed-key
-    discipline as dedup.ngram_jaccard_pairs' max_shingle_df. Duplicate
-    groups stay connected through their canonical member."""
+    Candidate generation is :func:`dedup.star_pairs`: ALL within-bucket
+    pairs for buckets ≤ the cap (exact LSH candidate recall — a true pair
+    can't be lost because its bucket canonical is a false-positive
+    collision), canonical-star pairs for degenerate hot buckets so
+    identical/boilerplate embeddings cannot blow up the verify join — the
+    same skewed-key discipline as dedup.ngram_jaccard_pairs'
+    max_shingle_df."""
     from searchengine_spark.analysis.dedup import star_pairs
 
     buckets = lsh_sign_buckets(
-        embeddings, n_bits, n_tables, seed, id_col, vec_col
+        embeddings, n_bits, n_tables, seed, id_col, vec_col, dim=dim
     )
     cand = star_pairs(buckets, ["lsh_table", "bucket"], "vec_id")
     vecs = embeddings.select(

@@ -29,24 +29,57 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
 
 
-def star_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
-    """(a, b): every bucket member paired with the bucket's canonical (min
-    id) — a bucket of m rows emits m−1 pairs, O(n) corpus-wide, and dup
-    groups stay connected through their canonical.
+STAR_PAIRS_CAP = 64  # buckets up to this size emit ALL pairs (exact recall)
 
-    Physical shape matters as much as the pair count: groupBy + broadcast-
-    able join back, NOT ``min().over(Window.partitionBy(bucket))`` — the
-    window form buffers each bucket in ONE task, so a degenerate 10^9-member
-    bucket becomes a single-task straggler even though its output is O(m).
-    The groupBy runs map-side partial min and the join spreads the hot
-    bucket's rows across normal hash-join tasks."""
-    canon = df.groupBy(*bucket_cols).agg(F.min(id_col).alias("_canon"))
-    return (
-        df.join(canon, bucket_cols)
-        .filter(F.col(id_col) != F.col("_canon"))
-        .select(F.col("_canon").alias("a"), F.col(id_col).alias("b"))
-        .distinct()
+
+def star_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    all_pairs_cap: int = STAR_PAIRS_CAP,
+) -> DataFrame:
+    """(a, b), a < b: candidate pairs within each bucket.
+
+    Buckets with ≤ ``all_pairs_cap`` members emit ALL m·(m−1)/2 pairs —
+    exact LSH candidate semantics, so a downstream verify step (Hamming /
+    cosine / Jaccard) sees every within-bucket pair and cannot lose a true
+    near-dup pair whose bucket canonical happens to be a false-positive
+    collision (the B–C-dropped-because-A-is-far failure mode of pure
+    star-pairing). Corpus-wide cost is O(n · cap).
+
+    Buckets LARGER than the cap are degenerate (m vectors agreeing on a
+    full band at realistic band widths ⇒ overwhelmingly a boilerplate /
+    identical-content group) and fall back to star-pairing: every member
+    pairs with the bucket's canonical (min id), m−1 pairs, keeping pair
+    output O(n) corpus-wide no matter how hot the bucket. For those buckets
+    verified-pair recall is not complete — members far from the canonical
+    but close to each other are not paired; connectivity through the
+    canonical holds for candidates, not for verified survivors.
+
+    Physical shape matters as much as the pair count: groupBy + join back,
+    NOT ``min().over(Window.partitionBy(bucket))`` — the window form
+    buffers each bucket in ONE task, so a degenerate 10^9-member bucket
+    becomes a single-task straggler even though its output is O(m). The
+    groupBy runs map-side partial min and the joins spread hot buckets
+    across normal hash-join tasks."""
+    stats = df.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_cnt"), F.min(id_col).alias("_canon")
     )
+    member = df.join(stats, bucket_cols)
+    small = member.filter(F.col("_cnt") <= all_pairs_cap)
+    small_pairs = (
+        small.select(*bucket_cols, F.col(id_col).alias("a"))
+        .join(small.select(*bucket_cols, F.col(id_col).alias("b")), bucket_cols)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    large_pairs = (
+        member.filter(
+            (F.col("_cnt") > all_pairs_cap) & (F.col(id_col) != F.col("_canon"))
+        )
+        .select(F.col("_canon").alias("a"), F.col(id_col).alias("b"))
+    )
+    return small_pairs.unionByName(large_pairs).distinct()
 
 
 def _minhash_col(h, k):

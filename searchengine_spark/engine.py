@@ -89,12 +89,20 @@ class SearchEngine:
         limit: int | None = None,
         mode: str = "reference",
         with_snippets: bool = False,
-        exact_count: bool = False,
+        exact_count: bool = True,
     ):
-        """Returns (page: pandas DataFrame, total candidate count). BM25
-        default is full block-max WAND (exact top-k ranking, lower-bound
-        count); ``exact_count=True`` opts into the exact disjunctive count
-        at the cost of decoding every query term's postings."""
+        """Returns (page: pandas DataFrame, total candidate count).
+
+        The PUBLIC default is ``exact_count=True``: the returned count is
+        the exact candidate count, matching the reference's
+        ``SearchResponse.count`` semantics (ApiController.java:59-64) for
+        existing API consumers. Ranking is block-max WAND either way (the
+        top-k page is identical); ``exact_count=False`` is the
+        performance opt-in that lets WAND also skip the count decode and
+        return a documented lower bound ≥ the page size — the right choice
+        for latency-sensitive serving where the count is cosmetic. The
+        internal :class:`BlockSearcher` keeps the pruned default; only this
+        public wrapper pins parity."""
         return self.searcher.search(
             query, site=site, offset=offset, limit=limit, mode=mode,
             with_snippets=with_snippets, exact_count=exact_count,

@@ -320,7 +320,38 @@ def test_star_pairing_plans_contain_no_window(spark):
     for name, df in plans.items():
         physical = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in physical, name
+    # 200 identical docs > STAR_PAIRS_CAP → degenerate bucket, star shape
     mh = plans["minhash"].toPandas()
     assert len(mh) == 199 and set(mh["a"]) == {0}
+    # 50 identical vectors ≤ STAR_PAIRS_CAP → exact all-pairs recall
     em = plans["embed"].toPandas()
-    assert len(em) == 49 and set(em["a"]) == {0}
+    assert len(em) == 50 * 49 // 2
+
+
+def test_verified_pair_recall_beyond_canonical_edges(spark):
+    """Star-pairing alone emits only canonical–member edges, so a true pair
+    neither member of which is the bucket canonical is silently lost from
+    the verified output (worst case: the canonical is a false-positive
+    collision and the whole group vanishes). The capped all-pairs candidate
+    stage must emit it. Fixture (signatures probed empirically): three docs
+    whose 16-bit SimHashes are mutually within hamming ≤ 3 and share chunk
+    buckets with doc 0 as the only canonical — the (1, 2) pair exists only
+    via all-pairs candidates."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta shared words here now",
+                    "alpha beta gamma delta epsilon different tail words",
+                ],
+            }
+        )
+    )
+    pairs = dedup.simhash_pairs(docs, bits=16, max_hamming=3).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    # hamming(0,1)=1, hamming(0,2)=2, hamming(1,2)=3 — ALL three pairs due
+    assert got == {(0, 1), (0, 2), (1, 2)}

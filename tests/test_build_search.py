@@ -35,23 +35,25 @@ def assert_page_matches(page, opage, count, ocount, q, mode):
 
 @pytest.mark.parametrize("mode", ["reference", "bm25"])
 def test_reference_query_set_rank_identity(engine, oracle, mode):
-    # exact_count=True: this test asserts COUNT parity with the oracle's
-    # full disjunctive candidate count (the default pruned path's count is
-    # a documented lower bound — covered by test_pruned_default below)
+    # exact_count=True (also the public-API default — reference
+    # SearchResponse.count parity): COUNT parity with the oracle's full
+    # disjunctive candidate count (the pruned opt-in path's count is a
+    # documented lower bound — covered by test_pruned_optin below)
     for q in REFERENCE_QUERIES:
-        page, count = engine.search(q, mode=mode, exact_count=True)
+        page, count = engine.search(q, mode=mode)
         opage, ocount = oracle.search(q, mode=mode)
         assert_page_matches(page, opage, count, ocount, q, mode)
 
 
-def test_pruned_default_rank_identity(engine):
-    """The DEFAULT bm25 path (block-max WAND, exact_count=False) must return
-    the IDENTICAL ranking and scores as the full-decode path — pruning may
-    only skip docs that provably can't reach the top-k — while its count is
-    a lower bound between the page size and the exact candidate count."""
+def test_pruned_optin_rank_identity(engine):
+    """The pruned bm25 opt-in (block-max WAND, exact_count=False) must
+    return the IDENTICAL ranking and scores as the full-decode path —
+    pruning may only skip docs that provably can't reach the top-k — while
+    its count is a lower bound between the page size and the exact
+    candidate count (which is the public-API default)."""
     for q in REFERENCE_QUERIES:
         exact, ecount = engine.search(q, mode="bm25", exact_count=True)
-        pruned, pcount = engine.search(q, mode="bm25")
+        pruned, pcount = engine.search(q, mode="bm25", exact_count=False)
         assert list(pruned["doc_id"]) == list(exact["doc_id"]), q
         np.testing.assert_allclose(
             pruned["score"].to_numpy(float), exact["score"].to_numpy(float),
