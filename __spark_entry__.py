@@ -513,6 +513,66 @@ def _bk_cte() -> str:
     return f"bk as (\n{branches}\n)"
 
 
+def _ivf_cents_cte(iters: int) -> str:
+    """CTE chain mirroring ann.ivf_centroids: md5-ranked seed components →
+    ``iters`` Lloyd rounds (cosine argmin assignment at SCORE_DECIMALS,
+    per-component mean rounded to CENTROID_DECIMALS, empty clusters keep
+    their previous centroid). Ends with cents{iters}/(cid, i, cv)."""
+    sd, cd = ann.SCORE_DECIMALS, ann.CENTROID_DECIMALS
+    parts = [
+        f"""cseed as (
+  select vec_id as cid from embeddings
+  order by md5(cast(vec_id as varchar)), vec_id limit {IVF_CENTROIDS}
+),
+cents0 as (
+  select c.cid, f.i, cast(f.v as double) as cv
+  from cseed c join flat f on f.vec_id = c.cid
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""cnorm{t} as (
+  select cid, sqrt(sum(cv * cv)) as nrm from cents{t} group by cid
+),
+dots{t} as (
+  select f.vec_id, c.cid, sum(cast(f.v as double) * c.cv) as dot
+  from flat f join cents{t} c on c.i = f.i
+  group by f.vec_id, c.cid
+),
+assign{t} as (
+  select vec_id, cid from (
+    select d.vec_id, d.cid,
+           row_number() over (partition by d.vec_id
+                              order by round(-(d.dot / (n.nrm * cn.nrm)), {sd}),
+                                       d.cid) as r
+    from dots{t} d
+    join norms n on n.vec_id = d.vec_id
+    join cnorm{t} cn on cn.cid = d.cid
+  ) where r = 1
+),
+avgs{t} as (
+  select a.cid, f.i, round(avg(cast(f.v as double)), {cd}) as cv
+  from assign{t} a join flat f on f.vec_id = a.vec_id
+  group by a.cid, f.i
+),
+cents{t + 1} as (
+  select c.cid, c.i, coalesce(v.cv, c.cv) as cv
+  from cents{t} c left join avgs{t} v on v.cid = c.cid and v.i = c.i
+)"""
+        )
+    parts.append(
+        f"""cnormF as (
+  select cid, sqrt(sum(cv * cv)) as nrm from cents{iters} group by cid
+),
+dotsF as (
+  select f.vec_id, c.cid, sum(cast(f.v as double) * c.cv) as dot
+  from flat f join cents{iters} c on c.i = f.i
+  group by f.vec_id, c.cid
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def _pair_cand_cte(src: str, bucket_cols: list[str], id_col: str) -> str:
     """psz/cand CTEs mirroring dedup.star_pairs: all pairs inside buckets of
     ≤ STAR_PAIRS_CAP members (exact LSH candidate recall), canonical-star
@@ -765,22 +825,12 @@ select query_id, cast(rank as bigint) as rank, vec_id, cosine from (
 """,
         "q_ann_ivf": f"""
 with {_EFLAT},
-cents as (
-  select vec_id as cid from embeddings
-  order by md5(cast(vec_id as varchar)), vec_id limit {IVF_CENTROIDS}
-),
-cdots as (
-  select f.vec_id, c.cid, sum(cast(f.v as double) * cast(cf.v as double)) as dot
-  from flat f
-  cross join cents c
-  join flat cf on cf.vec_id = c.cid and cf.i = f.i
-  group by f.vec_id, c.cid
-),
+{_ivf_cents_cte(ann.IVF_ITERS)},
 ccos as (
-  select d.vec_id, d.cid, d.dot / (na.nrm * nb.nrm) as rcos
-  from cdots d
-  join norms na on na.vec_id = d.vec_id
-  join norms nb on nb.vec_id = d.cid
+  select d.vec_id, d.cid, d.dot / (n.nrm * cn.nrm) as rcos
+  from dotsF d
+  join norms n on n.vec_id = d.vec_id
+  join cnormF cn on cn.cid = d.cid
 ),
 assign as (
   select vec_id, cid from (

@@ -183,38 +183,50 @@ def lsh_sign_buckets(
     return out
 
 
-def ivf_centroids(
+#: Lloyd refinement rounds for the IVF coarse quantizer. Each round is one
+#: broadcast-assign pass + one (cid, component) average — the same plan
+#: shapes as assignment itself, so the scale story is unchanged.
+IVF_ITERS = 2
+#: centroid components are rounded after every averaging step so both
+#: engines (Spark partial-agg sum order vs DuckDB) converge to identical
+#: doubles before the next assignment round reads them
+CENTROID_DECIMALS = 6
+
+
+def ivf_seed_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cid, cvec): deterministic pseudo-random coarse quantizer — the
-    ``n_centroids`` vectors ranked first by md5(vec_id) (a seeded sample
-    both engines can reproduce; a production deployment would k-means these,
-    which is a refinement of the same plan shape). ``limit`` compiles to
-    distributed TakeOrderedAndProject — no global sort materializes."""
+    """(cid, cvec): deterministic pseudo-random seed for the coarse
+    quantizer — the ``n_centroids`` vectors ranked first by md5(vec_id)
+    (a seeded sample both engines can reproduce). ``limit`` compiles to
+    distributed TakeOrderedAndProject — no global sort materializes.
+    Components are cast to double so the centroid column keeps one type
+    across Lloyd iterations."""
     return (
         embeddings.orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
         )
         .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+        )
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _nearest_cid(
+    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(vec_id, cid): each vector's nearest centroid by cosine (IVF inverted
-    list assignment). The centroid table is broadcast (k × dim floats);
+    """(vec_id, cid): nearest centroid by cosine against an explicit
+    centroid table. The centroid table is broadcast (k × dim doubles);
     argmin is a min(struct(rounded -cos, cid)) aggregate — deterministic
     under ties, shuffle key = vec_id with map-side partial min."""
-    cents = F.broadcast(ivf_centroids(embeddings, n_centroids, id_col, vec_col))
-    scored = embeddings.crossJoin(cents).select(
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("vec_id"),
         F.struct(
             F.round(
@@ -232,6 +244,66 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(cid, cvec): k-means coarse quantizer — the md5-ranked seed sample
+    refined by ``iters`` seeded Lloyd rounds (assign each vector to its
+    nearest centroid by cosine, recompute each centroid as the per-component
+    mean of its members, rounded to CENTROID_DECIMALS). Labels stay the
+    seed vec_ids; a round that empties a cluster keeps its previous
+    centroid. Every step is a broadcast-assign or a (cid, i) hash
+    aggregate — no corpus-wide window, no n² stage.
+
+    The returned plan recomputes the Lloyd chain each time an action reads
+    it; callers that reuse centroids across several jobs (as ivf_topk does
+    within one plan, or a production pipeline across runs) should persist
+    or write them out — they are k × dim doubles."""
+    cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    for _ in range(iters):
+        assign = _nearest_cid(embeddings, cents, id_col, vec_col)
+        comp = (
+            assign.join(vecs, "vec_id")
+            .select("cid", F.posexplode("_v").alias("i", "v"))
+            .groupBy("cid", "i")
+            .agg(
+                F.round(
+                    F.avg(F.col("v").cast("double")), CENTROID_DECIMALS
+                ).alias("cv")
+            )
+        )
+        newc = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s["cv"],
+            ).alias("_new")
+        )
+        cents = cents.join(newc, "cid", "left").select(
+            "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
+        )
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(vec_id, cid): each vector's inverted-list assignment — nearest
+    k-means centroid by cosine (see :func:`ivf_centroids`)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col, iters)
+    return _nearest_cid(embeddings, cents, id_col, vec_col)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -240,6 +312,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cosine): IVF approximate top-k — each probe
     scans only the inverted lists of its ``nprobe`` nearest centroids
@@ -248,9 +321,11 @@ def ivf_topk(
 
     Scale path: the corpus-side work is one broadcast-assign pass plus a
     hash join on cid — no corpus-wide window, no n² stage; recall is tuned
-    by (n_centroids, nprobe)."""
-    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = F.broadcast(ivf_centroids(embeddings, n_centroids, id_col, vec_col))
+    by (n_centroids, nprobe) and the k-means quality of the quantizer
+    (``iters`` Lloyd rounds, :func:`ivf_centroids`)."""
+    cents_df = ivf_centroids(embeddings, n_centroids, id_col, vec_col, iters)
+    assign = _nearest_cid(embeddings, cents_df, id_col, vec_col)
+    cents = F.broadcast(cents_df)
     probes = F.broadcast(
         embeddings.filter(F.col(id_col).isin(probe_ids)).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

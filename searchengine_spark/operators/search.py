@@ -215,6 +215,32 @@ def make_shard_kernel(
             # in-shard posting counts from block metadata
             order = sorted(terms, key=lambda t: (int(by_term[t]["count"].sum()), t))
             first = by_term[order[0]]
+            # seed-block pruning (metadata-only, before any decode): a doc
+            # in the conjunction lies in some block of EVERY term, so a seed
+            # block whose [min_doc, max_doc] range overlaps no block of some
+            # other term cannot contribute — drop it. Per other term the
+            # check is two sorted lookups over its block ranges (blocks are
+            # min_doc-sorted; prefix-max of max_doc makes "any earlier block
+            # reaches into [a, b]" O(log nblocks) per seed block). Pays off
+            # when terms' doc ranges are patchy (hot seed, gappy others).
+            if len(order) > 1 and len(first) > 0:
+                smin = first["min_doc"].to_numpy(np.int64)
+                smax = first["max_doc"].to_numpy(np.int64)
+                mask = np.ones(len(first), dtype=bool)
+                for t in order[1:]:
+                    g = by_term[t]
+                    tmin = g["min_doc"].to_numpy(np.int64)
+                    pref = np.maximum.accumulate(
+                        g["max_doc"].to_numpy(np.int64)
+                    )
+                    idx = np.searchsorted(tmin, smax, side="right")
+                    ok = idx > 0
+                    ok[ok] = pref[idx[ok] - 1] >= smin[ok]
+                    mask &= ok
+                    if not mask.any():
+                        break
+                if not mask.all():
+                    first = first[mask]
             ids, tfs = _decode_block_rows(first)
             if site_filter is not None:  # mask the seed; intersections stay ⊆
                 ids, tfs = site_filter(ids, tfs)

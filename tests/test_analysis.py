@@ -195,6 +195,19 @@ def test_ivf_topk_recall_and_shape(spark):
     # determinism
     again = ann.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=4).toPandas()
     assert approx.equals(again)
+    # Lloyd refinement must not lose recall vs the raw md5-ranked seed
+    # quantizer (iters=0) on clustered data
+    seed_only = ann.ivf_topk(
+        emb, [0, 1], k=5, n_centroids=8, nprobe=4, iters=0
+    ).toPandas()
+    for q in (0, 1):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a2 = set(approx[approx["query_id"] == q]["vec_id"])
+        a0 = set(seed_only[seed_only["query_id"] == q]["vec_id"])
+        assert len(e & a2) >= len(e & a0), (q, e, a2, a0)
+    # refined centroids: k rows, dim-width double components
+    cents = ann.ivf_centroids(emb, n_centroids=8).toPandas()
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents["cvec"])
 
 
 def test_event_windowed_counts(spark):
