@@ -265,6 +265,14 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_documents(spark, sf_dir), bits=16, max_hamming=3)
 
 
+def q_dup_groups(spark, sf_dir):
+    """Transitive duplicate groups: connected components (large-star /
+    small-star) over the verified SimHash pair set — A≈B and B≈C put
+    {A, B, C} in one group even when A–C was never emitted as a pair."""
+    pairs = dedup.simhash_pairs(_documents(spark, sf_dir), bits=16, max_hamming=3)
+    return dedup.connected_components(pairs.select("a", "b"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
     # max_shingle_df=None: the oracle-gated query is EXACT (no df filter in
     # the SQL either); the df cap stays an opt-in scale knob for skewed
@@ -417,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_dup_groups": q_dup_groups,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_fingerprint": q_fingerprint,
         "q_ann_topk": q_ann_topk,
@@ -635,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
     head_sum = blob_head_sum("b")
     en_markers = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
 
-    return {
+    sqls = {
         "q_eligible": (
             "select doc_id, n_chars from documents "
             "where text is not null and text <> ''"
@@ -1004,3 +1013,19 @@ select doc_id, media_type,
 from pl
 """,
     }
+    # transitive closure over the SAME verified pair set q_simhash_pairs
+    # emits: component = min doc_id reachable through any pair chain
+    sqls["q_dup_groups"] = f"""
+with recursive pairs as materialized (
+  select a, b from ({sqls["q_simhash_pairs"]})
+),
+nodes as (select a as doc from pairs union select b from pairs),
+edges as (select a as u, b as v from pairs union select b, a from pairs),
+reach (doc, r) as (
+  select doc, doc from nodes
+  union
+  select e.u, reach.r from edges e join reach on reach.doc = e.v
+)
+select doc as doc_id, min(r) as component from reach group by doc
+"""
+    return sqls

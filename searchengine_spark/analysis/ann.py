@@ -259,15 +259,21 @@ def ivf_centroids(
     centroid. Every step is a broadcast-assign or a (cid, i) hash
     aggregate — no corpus-wide window, no n² stage.
 
-    The returned plan recomputes the Lloyd chain each time an action reads
-    it; callers that reuse centroids across several jobs (as ivf_topk does
-    within one plan, or a production pipeline across runs) should persist
-    or write them out — they are k × dim doubles."""
+    Centroids are materialized to the driver between rounds and returned as
+    a literal DataFrame (k × dim doubles — O(1) metadata, the same move
+    MLlib's KMeans makes): each Lloyd round and every downstream consumer
+    (assignment, probe scoring) reads a small literal table instead of
+    replaying the whole iterative chain lazily."""
+    spark = embeddings.sparkSession
     cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    schema = "cid long, cvec array<double>"
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
     for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["cvec"])) for r in cents.collect()], schema
+        )
         assign = _nearest_cid(embeddings, cents, id_col, vec_col)
         comp = (
             assign.join(vecs, "vec_id")
@@ -288,7 +294,9 @@ def ivf_centroids(
         cents = cents.join(newc, "cid", "left").select(
             "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
         )
-    return cents
+    return spark.createDataFrame(
+        [(r["cid"], list(r["cvec"])) for r in cents.collect()], schema
+    )
 
 
 def ivf_assign(

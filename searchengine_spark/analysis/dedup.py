@@ -285,3 +285,85 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, component): connected components of the undirected pair
+    graph, component = the group's min doc_id. The dup-GROUP operator that
+    completes the pair generators: pairs from :func:`minhash_lsh_pairs` /
+    :func:`simhash_pairs` / ann.lsh_bucket_pairs connect transitively
+    (A≈B, B≈C ⇒ {A, B, C} is one group even when A–C was never emitted),
+    and dedup keeps one doc per component.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log² n) rounds on any graph (not just the star-dominated graphs our
+    pair generators emit), each round is two hash-shuffle aggregations, and
+    the edge multiset never grows beyond O(E). Per round the plan lineage
+    is truncated with localCheckpoint so the driver loop stays O(1) per
+    round in planning cost (a cluster deployment with preemption would use
+    reliable checkpointing instead). Convergence = the edge set is stable
+    across one large+small round; afterwards every surviving edge points
+    node → its component root."""
+    edges = (
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.rdd.isEmpty():
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id long, component long"
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # both directions; for each u: m = min(Γ(u) ∪ {u}); link every
+        # strictly-larger neighbor to m
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct edges high → low; for each u: m = min of its smaller
+        # neighbors ∪ {u}; link u and all those neighbors to m
+        dn = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m = dn.groupBy("u").agg(F.min("v").alias("m"))
+        linked = dn.join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            linked.unionByName(self_link)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        if nxt.exceptAll(edges).isEmpty() and edges.exceptAll(nxt).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+
+    # fixpoint: every edge is (member, root). Roots label themselves.
+    members = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("component")
+    )
+    roots = edges.select(F.col("b").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return members.unionByName(roots).distinct()

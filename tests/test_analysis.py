@@ -368,3 +368,42 @@ def test_verified_pair_recall_beyond_canonical_edges(spark):
     got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
     # hamming(0,1)=1, hamming(0,2)=2, hamming(1,2)=3 — ALL three pairs due
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst case for naive star-pairing connectivity)
+    collapses to one component labeled by its min; disjoint islands keep
+    separate labels; empty input yields an empty typed frame."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [10, 11, 12, 13, 50], "b": [11, 12, 13, 14, 51]})
+    )
+    out = (
+        dedup.connected_components(pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [10, 11, 12, 13, 14, 50, 51]
+    assert list(out["component"]) == [10, 10, 10, 10, 10, 50, 50]
+
+    empty = pairs.filter("a < 0")
+    eout = dedup.connected_components(empty)
+    assert eout.count() == 0
+    assert [f.name for f in eout.schema.fields] == ["doc_id", "component"]
+
+
+def test_connected_components_merges_cross_band_stars(spark):
+    """Two stars sharing one member (the cross-band case the pair
+    generators produce) merge into a single component."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": [1, 1, 1, 7, 7, 3], "b": [2, 3, 4, 8, 9, 7]}
+        )  # star(1:{2,3,4}) + star(7:{8,9}) bridged by 3–7
+    )
+    out = dedup.connected_components(pairs).toPandas()
+    assert set(out["component"]) == {1}
+    assert set(out["doc_id"]) == {1, 2, 3, 4, 7, 8, 9}
