@@ -380,6 +380,20 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (stable under corpus
+    growth and reshuffles — the sampling primitive of training-data prep)."""
+    return textstats.hash_split(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("split_bucket").cast("long"), "split"
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals: duplicate-word fraction,
+    top-word share, duplicate-bigram fraction."""
+    return textstats.repetition_stats(_documents(spark, sf_dir))
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -438,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_binary": q_multimodal_binary,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_hash_split": q_hash_split,
+        "q_repetition": q_repetition,
         "q_event_windows": q_event_windows,
         "q_sessions": q_sessions,
     }
@@ -609,6 +625,26 @@ def _ref_terms_sql() -> str:
 
 def _bm25_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+def _hash_split_oracle() -> str:
+    """Hash-split oracle generated from the SAME split table the Spark side
+    uses (textstats.DEFAULT_SPLITS / SPLIT_BUCKETS) — no drift possible."""
+    h32 = h32_sql("cast(doc_id as varchar) || ':split-v1'")
+    bucket = f"({h32} % {textstats.SPLIT_BUCKETS})"
+    cum, whens = 0.0, []
+    for name, w in textstats.DEFAULT_SPLITS[:-1]:
+        cum += w
+        whens.append(
+            f"when b < {int(round(cum * textstats.SPLIT_BUCKETS))} then '{name}'"
+        )
+    fallback = textstats.DEFAULT_SPLITS[-1][0]
+    return f"""
+with b as (select doc_id, {bucket} as b from documents)
+select doc_id, cast(b as bigint) as split_bucket,
+       case {' '.join(whens)} else '{fallback}' end as split
+from b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -965,6 +1001,41 @@ select doc_id,
        cast(len(regexp_extract_all(text, '{textstats.BPE_PUNCT}')) as bigint)
          as n_punct_tokens
 from documents where text is not null and text <> ''
+""",
+        "q_hash_split": _hash_split_oracle(),
+        "q_repetition": f"""
+with {_WRD},
+wc as (
+  select doc_id, word, count(*) as c from wrd group by doc_id, word
+),
+agg as (
+  select doc_id, sum(c) as n_tokens, count(*) as n_distinct,
+         max(c) as top_count
+  from wc group by doc_id
+),
+toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_WORD_SPLIT}'),
+                     x -> x <> '') as arr
+  from documents where text is not null and text <> ''
+),
+g2 as (
+  select doc_id,
+         case when len(arr) >= 2 then len(arr) - 1 else 0 end as n_grams,
+         case when len(arr) >= 2
+              then len(list_distinct(list_transform(range(1, len(arr)),
+                       i -> arr[i] || ' ' || arr[i+1])))
+              else 0 end as n_gram_distinct
+  from toks
+)
+select a.doc_id,
+       cast(a.n_tokens - a.n_distinct as double) / greatest(a.n_tokens, 1)
+         as dup_word_ratio,
+       cast(a.top_count as double) / greatest(a.n_tokens, 1)
+         as top_word_ratio,
+       cast(g.n_grams - g.n_gram_distinct as double) / greatest(g.n_grams, 1)
+         as dup_gram_ratio
+from agg a join g2 g on a.doc_id = g.doc_id
 """,
         "q_event_windows": """
 select cast(epoch_us(date_trunc('hour', ts)) as bigint) as window_start_us,

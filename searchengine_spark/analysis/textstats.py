@@ -130,6 +130,99 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+#: resolution of the hash-split bucket space (basis points of probability)
+SPLIT_BUCKETS = 10_000
+
+#: default corpus split for training-data prep
+DEFAULT_SPLITS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def hash_split(
+    documents: DataFrame,
+    splits=DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``H32(doc_id:salt) mod 10^4``
+    buckets mapped to splits by cumulative weight. Stable under reshuffles,
+    re-runs, and corpus growth (a doc's split never changes when other docs
+    are added — the property random sampling lacks); changing ``salt``
+    re-draws the whole assignment. Pure per-row built-ins: no shuffle, no
+    state, embarrassingly parallel at any scale."""
+    bucket = h32_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) % SPLIT_BUCKETS
+    cum = 0.0
+    assign = None
+    for name, w in splits[:-1]:
+        cum += w
+        t = int(round(cum * SPLIT_BUCKETS))
+        assign = (
+            F.when(bucket < t, F.lit(name))
+            if assign is None
+            else assign.when(bucket < t, F.lit(name))
+        )
+    assign = assign.otherwise(F.lit(splits[-1][0]))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("split_bucket"),
+        assign.alias("split"),
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-word fraction,
+    top-word share, duplicate word-``n``-gram fraction. High values mark
+    boilerplate / spam / degenerate text a training pipeline filters out.
+
+    The n-gram side is computed in-row (split → slide → array_distinct),
+    zero shuffle; the word side needs per-(doc, word) counts for the mode,
+    one doc_id-keyed aggregation — evenly distributed, no skew risk."""
+    wc = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    toks = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), WORD_SPLIT), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_gram_distinct"),
+    )
+    # ratios of exact ints, numerators cast to double — bit-identical
+    # across engines (same convention as quality_score)
+    return agg.join(g, "doc_id").select(
+        "doc_id",
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_word_ratio"),
+        (
+            F.col("top_count").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("top_word_ratio"),
+        (
+            (F.col("n_grams") - F.col("n_gram_distinct")).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1))
+        ).alias("dup_gram_ratio"),
+    )
+
+
 def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, ngram) — distinct word n-grams (shingles) per doc.
 

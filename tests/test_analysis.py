@@ -407,3 +407,49 @@ def test_connected_components_merges_cross_band_stars(spark):
     out = dedup.connected_components(pairs).toPandas()
     assert set(out["component"]) == {1}
     assert set(out["doc_id"]) == {1, 2, 3, 4, 7, 8, 9}
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    pdf = pd.DataFrame({"doc_id": range(2000), "text": "x"})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = textstats.hash_split(docs).toPandas().set_index("doc_id")
+    # every doc assigned exactly once, only known split names
+    assert len(out) == 2000
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    # weights roughly honored (hash is uniform; 2000 docs, generous band)
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.85 <= frac["train"] <= 0.95
+    assert 0.02 <= frac.get("val", 0) <= 0.09
+    # growth stability: assignment over a subset is the restriction of the
+    # full assignment (the property random sampling lacks)
+    sub = textstats.hash_split(docs.filter("doc_id < 500")).toPandas()
+    sub = sub.set_index("doc_id")
+    assert (out.loc[sub.index, "split"] == sub["split"]).all()
+    # a different salt re-draws the assignment
+    other = textstats.hash_split(docs, salt="split-v2").toPandas()
+    other = other.set_index("doc_id")
+    assert (out["split"] != other["split"]).any()
+
+
+def test_repetition_stats_hand_computed(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a a a b",          # dup words 2/4, top 3/4, bigrams aa aa ab → dup 1/3
+                "w x y z",          # no repetition at all
+                "solo",             # single word: no bigrams → all-zero gram ratio
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = textstats.repetition_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "dup_word_ratio"] == pytest.approx(2 / 4)
+    assert out.loc[0, "top_word_ratio"] == pytest.approx(3 / 4)
+    assert out.loc[0, "dup_gram_ratio"] == pytest.approx(1 / 3)
+    assert out.loc[1, "dup_word_ratio"] == 0.0
+    assert out.loc[1, "top_word_ratio"] == pytest.approx(1 / 4)
+    assert out.loc[1, "dup_gram_ratio"] == 0.0
+    assert out.loc[2, "dup_word_ratio"] == 0.0
+    assert out.loc[2, "top_word_ratio"] == 1.0
+    assert out.loc[2, "dup_gram_ratio"] == 0.0
