@@ -394,6 +394,14 @@ def q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
 
+def q_decontam(spark, sf_dir):
+    """Train/eval decontamination: train docs sharing word trigrams with
+    the hash-split val/test sets (GPT-3-style eval-overlap filter)."""
+    return textstats.decontaminate(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("n_shared_grams").cast("long"), "sample_gram"
+    )
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -454,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": q_bpe_tokens,
         "q_hash_split": q_hash_split,
         "q_repetition": q_repetition,
+        "q_decontam": q_decontam,
         "q_event_windows": q_event_windows,
         "q_sessions": q_sessions,
     }
@@ -627,23 +636,45 @@ def _bm25_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
 
-def _hash_split_oracle() -> str:
-    """Hash-split oracle generated from the SAME split table the Spark side
-    uses (textstats.DEFAULT_SPLITS / SPLIT_BUCKETS) — no drift possible."""
+def _split_bucket_sql() -> str:
+    """Split-bucket SQL generated from the SAME constants the Spark side
+    uses (textstats.SPLIT_BUCKETS, salt 'split-v1') — no drift possible."""
     h32 = h32_sql("cast(doc_id as varchar) || ':split-v1'")
-    bucket = f"({h32} % {textstats.SPLIT_BUCKETS})"
+    return f"({h32} % {textstats.SPLIT_BUCKETS})"
+
+
+def _split_case_sql(b: str) -> str:
     cum, whens = 0.0, []
     for name, w in textstats.DEFAULT_SPLITS[:-1]:
         cum += w
         whens.append(
-            f"when b < {int(round(cum * textstats.SPLIT_BUCKETS))} then '{name}'"
+            f"when {b} < {int(round(cum * textstats.SPLIT_BUCKETS))} then '{name}'"
         )
-    fallback = textstats.DEFAULT_SPLITS[-1][0]
+    return f"case {' '.join(whens)} else '{textstats.DEFAULT_SPLITS[-1][0]}' end"
+
+
+def _hash_split_oracle() -> str:
     return f"""
-with b as (select doc_id, {bucket} as b from documents)
+with b as (select doc_id, {_split_bucket_sql()} as b from documents)
 select doc_id, cast(b as bigint) as split_bucket,
-       case {' '.join(whens)} else '{fallback}' end as split
+       {_split_case_sql('b')} as split
 from b
+"""
+
+
+def _decontam_oracle() -> str:
+    return f"""
+with {_GRAMS},
+sp as (select doc_id, {_split_case_sql(_split_bucket_sql())} as split
+       from documents),
+g as (select g.doc_id, g.ngram, s.split
+      from grams g join sp s on g.doc_id = s.doc_id),
+eg as (select distinct md5(ngram) as gh from g
+       where split in ('val', 'test')),
+tr as (select doc_id, ngram, md5(ngram) as gh from g where split = 'train')
+select tr.doc_id, count(*) as n_shared_grams, min(tr.ngram) as sample_gram
+from tr join eg on tr.gh = eg.gh
+group by tr.doc_id
 """
 
 
@@ -1003,6 +1034,7 @@ select doc_id,
 from documents where text is not null and text <> ''
 """,
         "q_hash_split": _hash_split_oracle(),
+        "q_decontam": _decontam_oracle(),
         "q_repetition": f"""
 with {_WRD},
 wc as (

@@ -149,8 +149,21 @@ def hash_split(
     are added — the property random sampling lacks); changing ``salt``
     re-draws the whole assignment. Pure per-row built-ins: no shuffle, no
     state, embarrassingly parallel at any scale."""
+    bucket, assign = split_cols(F.col(id_col), splits, salt)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("split_bucket"),
+        assign.alias("split"),
+    )
+
+
+def split_cols(id_col: Column, splits=DEFAULT_SPLITS, salt: str = "split-v1"):
+    """(bucket, split) Column pair for an id column — per-row expressions, so
+    consumers that already carry doc_id (e.g. the n-gram table in
+    ``decontaminate``) derive the split with NO join against an assignment
+    table."""
     bucket = h32_col(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        F.concat(id_col.cast("string"), F.lit(":" + salt))
     ) % SPLIT_BUCKETS
     cum = 0.0
     assign = None
@@ -162,11 +175,44 @@ def hash_split(
             if assign is None
             else assign.when(bucket < t, F.lit(name))
         )
-    assign = assign.otherwise(F.lit(splits[-1][0]))
-    return documents.select(
-        F.col(id_col).alias("doc_id"),
-        bucket.alias("split_bucket"),
-        assign.alias("split"),
+    return bucket, assign.otherwise(F.lit(splits[-1][0]))
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 3,
+    splits=DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    eval_splits=("val", "test"),
+) -> DataFrame:
+    """Train/eval decontamination: train-split docs sharing ≥1 word
+    ``n``-gram with any val/test doc, with the count of distinct shared
+    n-grams and a sample gram (the GPT-3-style eval-overlap filter; the
+    real pipeline uses n≈13, tests use 3 so synthetic docs collide).
+
+    Scale shape: splits derive per-row from the doc_id hash (no assignment
+    join); the overlap join keys on ``md5(ngram)`` — fixed 32-char key vs
+    arbitrarily long gram text, portable to the DuckDB oracle bit-for-bit
+    (unlike xxhash64). Eval grams are distinct-reduced before the join
+    (eval is the small side; Spark broadcasts it when it fits, AQE handles
+    the hot-shingle skew otherwise). Output is train docs only, O(hits)."""
+    _, split = split_cols(F.col("doc_id"), splits, salt)
+    grams = word_ngrams(documents, n).withColumn("split", split)
+    eval_grams = (
+        grams.filter(F.col("split").isin(*eval_splits))
+        .select(F.md5("ngram").alias("gh"))
+        .distinct()
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        "doc_id", "ngram", F.md5("ngram").alias("gh")
+    )
+    return (
+        train.join(eval_grams, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_grams"),
+            F.min("ngram").alias("sample_gram"),
+        )
     )
 
 

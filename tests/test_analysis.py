@@ -453,3 +453,33 @@ def test_repetition_stats_hand_computed(spark):
     assert out.loc[2, "dup_word_ratio"] == 0.0
     assert out.loc[2, "top_word_ratio"] == 1.0
     assert out.loc[2, "dup_gram_ratio"] == 0.0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # 60 unique-text docs → hash-split them, then plant one eval doc's text
+    # into a train doc and assert exactly that train doc is flagged.
+    # letters-only suffixes (digits are token separators in WORD_SPLIT)
+    def tag(i):
+        return chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+
+    base = {
+        i: f"unique{tag(i)} alpha{tag(i)} beta{tag(i)} gamma{tag(i)} "
+           f"delta{tag(i)} tail{tag(i)}"
+        for i in range(60)
+    }
+    pdf = pd.DataFrame({"doc_id": list(base), "text": list(base.values())})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    sp = textstats.hash_split(docs).toPandas().set_index("doc_id")["split"]
+    evals = [i for i in base if sp[i] in ("val", "test")]
+    trains = [i for i in base if sp[i] == "train"]
+    assert evals and trains, f"degenerate split: {sp.value_counts().to_dict()}"
+    clean = textstats.decontaminate(docs).toPandas()
+    assert len(clean) == 0  # unique texts: no cross-split trigram overlap
+    planted = dict(base)
+    planted[trains[0]] = base[evals[0]]  # copy eval text into a train doc
+    pdf2 = pd.DataFrame({"doc_id": list(planted), "text": list(planted.values())})
+    docs2 = spark.createDataFrame(pdf2, "doc_id long, text string")
+    out = textstats.decontaminate(docs2).toPandas().set_index("doc_id")
+    assert list(out.index) == [trains[0]]
+    # the planted text has 6 words → 4 trigrams, all shared
+    assert int(out.loc[trains[0], "n_shared_grams"]) == 4
