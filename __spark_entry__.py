@@ -289,7 +289,9 @@ def q_fingerprint(spark, sf_dir):
 
 # ---- embeddings ------------------------------------------------------------
 def q_ann_topk(spark, sf_dir):
-    return ann.cosine_topk(_embeddings(spark, sf_dir), ANN_PROBES, k=ANN_K).select(
+    return ann.cosine_topk(
+        _embeddings(spark, sf_dir), ANN_PROBES, k=ANN_K, dim=EMBED_DIM
+    ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
     )
 

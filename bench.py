@@ -96,7 +96,10 @@ def main() -> None:
     timed("fingerprint", lambda: textstats.fingerprint(docs).count())
     timed("token_stats", lambda: textstats.token_stats(docs).count())
     timed("lang_id", lambda: textstats.lang_id(docs).count())
-    timed("ann_topk", lambda: ann.cosine_topk(emb, entrymod.ANN_PROBES).count())
+    timed(
+        "ann_topk",
+        lambda: ann.cosine_topk(emb, entrymod.ANN_PROBES, dim=entrymod.EMBED_DIM).count(),
+    )
     timed(
         "embed_neardup",
         lambda: ann.lsh_bucket_pairs(

@@ -55,12 +55,30 @@ def _norm(a):
     )
 
 
+def _dot_unrolled(a, b, dim: int, cast: bool = False):
+    """Dot product unrolled to a ``dim``-term codegen'd expression — the
+    higher-order ``aggregate``/``zip_with`` fold runs interpreted per
+    element (boxed, no whole-stage codegen), which dominates ANN passes.
+    Left-associated addition = the exact IEEE order of the fold."""
+    def term(i):
+        x, y = F.element_at(a, i), F.element_at(b, i)
+        if cast:
+            x, y = x.cast("double"), y.cast("double")
+        return x * y
+
+    e = term(1)
+    for i in range(2, dim + 1):
+        e = e + term(i)
+    return e
+
+
 def cosine_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cosine): exact top-k cosine neighbors of each
     probe vector (self excluded). Probes are broadcast; ties broken by
@@ -74,9 +92,17 @@ def cosine_topk(
     per probe."""
     probes = F.broadcast(
         embeddings.filter(F.col(id_col).isin(probe_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnrm"),
         )
     )
+    if dim:
+        dot = _dot_unrolled(F.col(vec_col), F.col("qvec"), dim, cast=True)
+        nrm = F.sqrt(_dot_unrolled(F.col(vec_col), F.col(vec_col), dim, cast=True))
+    else:
+        dot = _dot(F.col(vec_col), F.col("qvec"))
+        nrm = _norm(F.col(vec_col))
     scored = (
         embeddings.crossJoin(probes)
         .filter(F.col(id_col) != F.col("query_id"))
@@ -84,9 +110,7 @@ def cosine_topk(
             "query_id",
             F.col(id_col).alias("vec_id"),
             F.round(
-                _dot(F.col(vec_col), F.col("qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
-                SCORE_DECIMALS,
+                dot / (nrm * F.col("qnrm")), SCORE_DECIMALS
             ).alias("cosine"),
             F.spark_partition_id().alias("_pid"),
         )
@@ -219,20 +243,73 @@ def ivf_seed_centroids(
     )
 
 
+def _dot_d(a, b):
+    """Dot product over already-double arrays (same left-to-right fold as
+    :func:`_dot`, minus the per-element casts)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _ivf_vecs(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Persisted (vec_id, _v:array<double>, vnrm) projection shared by every
+    IVF pass. The iterative Lloyd loop + final assignment + probe scoring
+    would otherwise each re-read the corpus (and re-derive the norm per
+    centroid comparison); one MEMORY_AND_DISK persist is the standard
+    iterative-algorithm move (MLlib KMeans does the same). Input with fewer
+    partitions than the session's parallelism (e.g. a single-row-group
+    parquet file) is repartitioned once so every later pass is parallel."""
+    from pyspark import StorageLevel
+
+    spark = embeddings.sparkSession
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        _norm(F.col(vec_col)).alias("vnrm"),
+    )
+    n_par = spark.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < max(2, n_par // 2):
+        vecs = vecs.repartition(n_par)
+    return vecs.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _cents_literal(spark, rows) -> DataFrame:
+    """[(cid, [float,...])] → literal (cid, cvec, cnrm) table. The norm is
+    computed here once per centroid (Python left-to-right sum = the same
+    IEEE fold as :func:`_norm`) instead of per corpus row per pass."""
+    import math
+
+    data = [
+        (int(cid), [float(x) for x in vec],
+         float(math.sqrt(sum(float(x) * float(x) for x in vec))))
+        for cid, vec in rows
+    ]
+    return spark.createDataFrame(
+        data, "cid long, cvec array<double>, cnrm double"
+    )
+
+
 def _nearest_cid(
-    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    vecs: DataFrame, cents: DataFrame, dim: int | None = None
 ) -> DataFrame:
     """(vec_id, cid): nearest centroid by cosine against an explicit
     centroid table. The centroid table is broadcast (k × dim doubles);
     argmin is a min(struct(rounded -cos, cid)) aggregate — deterministic
-    under ties, shuffle key = vec_id with map-side partial min."""
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("vec_id"),
+    under ties, shuffle key = vec_id with map-side partial min. Pass
+    ``dim`` to run the dot product codegen'd (:func:`_dot_unrolled`)."""
+    dot = (
+        _dot_unrolled(F.col("_v"), F.col("cvec"), dim)
+        if dim
+        else _dot_d(F.col("_v"), F.col("cvec"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
         F.struct(
             F.round(
-                -_dot(F.col(vec_col), F.col("cvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
-                SCORE_DECIMALS,
+                -dot / (F.col("vnrm") * F.col("cnrm")), SCORE_DECIMALS
             ).alias("negcos"),
             F.col("cid").alias("cid"),
         ).alias("key"),
@@ -242,6 +319,64 @@ def _nearest_cid(
         .agg(F.min("key").alias("key"))
         .select("vec_id", F.col("key.cid").alias("cid"))
     )
+
+
+def _lloyd_rounds(vecs: DataFrame, seed_rows, iters: int) -> list:
+    """Run ``iters`` Lloyd rounds over the persisted projection and return
+    the refined [(cid, [double,...])] centroid rows.
+
+    Each round is one broadcast-assign pass plus ONE (cid)-keyed aggregate
+    with ``dim`` partial-aggregated sum columns — map-side combine reduces
+    the shuffle to partitions × k × (dim+1) values regardless of corpus
+    size (the previous posexplode shape shuffled corpus × dim rows per
+    round). The mean + round stays a JVM expression (sum/count, HALF_UP)
+    so both engines' Lloyd arithmetic converges to identical doubles."""
+    spark = vecs.sparkSession
+    rows = list(seed_rows)
+    if not rows:
+        return rows
+    dim = len(rows[0][1])
+    for _ in range(iters):
+        cents = _cents_literal(spark, rows)
+        assign = _nearest_cid(vecs, cents, dim)
+        sums = (
+            assign.join(vecs, "vec_id")
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .select(
+                "cid",
+                *[
+                    F.round(
+                        F.col(f"_s{i}") / F.col("_n"), CENTROID_DECIMALS
+                    ).alias(f"_c{i}")
+                    for i in range(dim)
+                ],
+            )
+        )
+        new = {
+            r["cid"]: [r[f"_c{i}"] for i in range(dim)]
+            for r in sums.collect()
+        }
+        # a round that empties a cluster keeps its previous centroid
+        rows = [(cid, new.get(cid, vec)) for cid, vec in rows]
+    return rows
+
+
+def _seed_rows(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list:
+    return [
+        (r["cid"], list(r["cvec"]))
+        for r in ivf_seed_centroids(
+            embeddings, n_centroids, id_col, vec_col
+        ).collect()
+    ]
 
 
 def ivf_centroids(
@@ -255,47 +390,19 @@ def ivf_centroids(
     refined by ``iters`` seeded Lloyd rounds (assign each vector to its
     nearest centroid by cosine, recompute each centroid as the per-component
     mean of its members, rounded to CENTROID_DECIMALS). Labels stay the
-    seed vec_ids; a round that empties a cluster keeps its previous
-    centroid. Every step is a broadcast-assign or a (cid, i) hash
-    aggregate — no corpus-wide window, no n² stage.
-
-    Centroids are materialized to the driver between rounds and returned as
-    a literal DataFrame (k × dim doubles — O(1) metadata, the same move
-    MLlib's KMeans makes): each Lloyd round and every downstream consumer
-    (assignment, probe scoring) reads a small literal table instead of
-    replaying the whole iterative chain lazily."""
+    seed vec_ids. Returned as a literal DataFrame (k × dim doubles — O(1)
+    metadata, the same move MLlib's KMeans makes) so downstream consumers
+    never replay the iterative chain."""
     spark = embeddings.sparkSession
-    cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
-    schema = "cid long, cvec array<double>"
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    )
-    for _ in range(iters):
-        cents = spark.createDataFrame(
-            [(r["cid"], list(r["cvec"])) for r in cents.collect()], schema
+    vecs = _ivf_vecs(embeddings, id_col, vec_col)
+    try:
+        rows = _lloyd_rounds(
+            vecs, _seed_rows(embeddings, n_centroids, id_col, vec_col), iters
         )
-        assign = _nearest_cid(embeddings, cents, id_col, vec_col)
-        comp = (
-            assign.join(vecs, "vec_id")
-            .select("cid", F.posexplode("_v").alias("i", "v"))
-            .groupBy("cid", "i")
-            .agg(
-                F.round(
-                    F.avg(F.col("v").cast("double")), CENTROID_DECIMALS
-                ).alias("cv")
-            )
-        )
-        newc = comp.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                lambda s: s["cv"],
-            ).alias("_new")
-        )
-        cents = cents.join(newc, "cid", "left").select(
-            "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
-        )
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(
-        [(r["cid"], list(r["cvec"])) for r in cents.collect()], schema
+        [(cid, vec) for cid, vec in rows], "cid long, cvec array<double>"
     )
 
 
@@ -308,8 +415,17 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, cid): each vector's inverted-list assignment — nearest
     k-means centroid by cosine (see :func:`ivf_centroids`)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col, iters)
-    return _nearest_cid(embeddings, cents, id_col, vec_col)
+    spark = embeddings.sparkSession
+    vecs = _ivf_vecs(embeddings, id_col, vec_col)
+    rows = _lloyd_rounds(
+        vecs, _seed_rows(embeddings, n_centroids, id_col, vec_col), iters
+    )
+    # lazy consumer reads the persisted projection; ContextCleaner reclaims
+    # the blocks once the returned plan is unreferenced
+    dim = len(rows[0][1]) if rows else None
+    return _nearest_cid(vecs, _cents_literal(spark, rows), dim).select(
+        "vec_id", "cid"
+    )
 
 
 def ivf_topk(
@@ -330,23 +446,38 @@ def ivf_topk(
     Scale path: the corpus-side work is one broadcast-assign pass plus a
     hash join on cid — no corpus-wide window, no n² stage; recall is tuned
     by (n_centroids, nprobe) and the k-means quality of the quantizer
-    (``iters`` Lloyd rounds, :func:`ivf_centroids`)."""
-    cents_df = ivf_centroids(embeddings, n_centroids, id_col, vec_col, iters)
-    assign = _nearest_cid(embeddings, cents_df, id_col, vec_col)
-    cents = F.broadcast(cents_df)
+    (``iters`` Lloyd rounds, :func:`ivf_centroids`). The corpus projection
+    is persisted once and shared by the Lloyd rounds, the final assignment,
+    and the candidate scoring; when the result is driver-small
+    (|probes| × k ≤ 10⁵) it is materialized to a literal so the projection
+    can be unpersisted eagerly."""
+    spark = embeddings.sparkSession
+    vecs = _ivf_vecs(embeddings, id_col, vec_col)
+    rows = _lloyd_rounds(
+        vecs, _seed_rows(embeddings, n_centroids, id_col, vec_col), iters
+    )
+    cents = _cents_literal(spark, rows)
+    dim = len(rows[0][1]) if rows else None
+    assign = _nearest_cid(vecs, cents, dim)
     probes = F.broadcast(
-        embeddings.filter(F.col(id_col).isin(probe_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        vecs.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("qvec"),
+            F.col("vnrm").alias("qnrm"),
         )
     )
     probe_cents = (
-        probes.crossJoin(cents)
+        probes.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
             "cid",
             F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                (
+                    _dot_unrolled(F.col("qvec"), F.col("cvec"), dim)
+                    if dim
+                    else _dot_d(F.col("qvec"), F.col("cvec"))
+                )
+                / (F.col("qnrm") * F.col("cnrm")),
                 SCORE_DECIMALS,
             ).alias("ccos"),
         )
@@ -364,7 +495,6 @@ def ivf_topk(
     cand = assign.join(F.broadcast(probe_cents), "cid").select(
         "query_id", "vec_id"
     )
-    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     scored = (
         cand.join(vecs, "vec_id")
         .join(probes, "query_id")
@@ -373,8 +503,12 @@ def ivf_topk(
             "query_id",
             "vec_id",
             F.round(
-                _dot(F.col("_v"), F.col("qvec"))
-                / (_norm(F.col("_v")) * _norm(F.col("qvec"))),
+                (
+                    _dot_unrolled(F.col("_v"), F.col("qvec"), dim)
+                    if dim
+                    else _dot_d(F.col("_v"), F.col("qvec"))
+                )
+                / (F.col("vnrm") * F.col("qnrm")),
                 SCORE_DECIMALS,
             ).alias("cosine"),
             F.spark_partition_id().alias("_pid"),
@@ -388,13 +522,21 @@ def ivf_topk(
         .filter(F.col("_r") <= k)
         .drop("_pid", "_r")
     )
-    return (
+    result = (
         partial.withColumn(
             "rank", F.row_number().over(Window.partitionBy("query_id").orderBy(*order))
         )
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+    if len(probe_ids) * k <= 100_000:
+        out = result.collect()
+        vecs.unpersist()
+        return spark.createDataFrame(
+            [(r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in out],
+            "query_id long, rank int, vec_id long, cosine double",
+        )
+    return result
 
 
 def lsh_bucket_pairs(
