@@ -55,23 +55,6 @@ def _norm(a):
     )
 
 
-def _dot_unrolled(a, b, dim: int, cast: bool = False):
-    """Dot product unrolled to a ``dim``-term codegen'd expression — the
-    higher-order ``aggregate``/``zip_with`` fold runs interpreted per
-    element (boxed, no whole-stage codegen), which dominates ANN passes.
-    Left-associated addition = the exact IEEE order of the fold."""
-    def term(i):
-        x, y = F.element_at(a, i), F.element_at(b, i)
-        if cast:
-            x, y = x.cast("double"), y.cast("double")
-        return x * y
-
-    e = term(1)
-    for i in range(2, dim + 1):
-        e = e + term(i)
-    return e
-
-
 def cosine_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -89,7 +72,14 @@ def cosine_topk(
     stage 2 merges ≤ partitions×k rows per probe. The merge input is tiny
     regardless of corpus size, unlike a single Window.partitionBy(query_id)
     which would shuffle every scored row of the corpus into one partition
-    per probe."""
+    per probe.
+
+    ``dim`` is accepted (and ignored) for signature stability: an unrolled
+    dim-term dot expression was measured 4-7x SLOWER than the
+    aggregate/zip_with fold at bench scale (Catalyst planning + per-plan
+    codegen on the giant tree dominates, and literal-changing plans
+    recompile every call), and at realistic dims (768+) the tree is
+    untenable — the fold is the keeper."""
     probes = F.broadcast(
         embeddings.filter(F.col(id_col).isin(probe_ids)).select(
             F.col(id_col).alias("query_id"),
@@ -97,12 +87,8 @@ def cosine_topk(
             _norm(F.col(vec_col)).alias("qnrm"),
         )
     )
-    if dim:
-        dot = _dot_unrolled(F.col(vec_col), F.col("qvec"), dim, cast=True)
-        nrm = F.sqrt(_dot_unrolled(F.col(vec_col), F.col(vec_col), dim, cast=True))
-    else:
-        dot = _dot(F.col(vec_col), F.col("qvec"))
-        nrm = _norm(F.col(vec_col))
+    dot = _dot(F.col(vec_col), F.col("qvec"))
+    nrm = _norm(F.col(vec_col))
     scored = (
         embeddings.crossJoin(probes)
         .filter(F.col(id_col) != F.col("query_id"))
@@ -298,13 +284,12 @@ def _nearest_cid(
     """(vec_id, cid): nearest centroid by cosine against an explicit
     centroid table. The centroid table is broadcast (k × dim doubles);
     argmin is a min(struct(rounded -cos, cid)) aggregate — deterministic
-    under ties, shuffle key = vec_id with map-side partial min. Pass
-    ``dim`` to run the dot product codegen'd (:func:`_dot_unrolled`)."""
-    dot = (
-        _dot_unrolled(F.col("_v"), F.col("cvec"), dim)
-        if dim
-        else _dot_d(F.col("_v"), F.col("cvec"))
-    )
+    under ties, shuffle key = vec_id with map-side partial min. ``dim``
+    is ignored (see :func:`cosine_topk` on why the fold beats unrolling;
+    an argmin-as-literal-expression variant was also measured and loses —
+    centroid literals change every Lloyd round, forcing a fresh Janino
+    compile of a k×dim tree per round)."""
+    dot = _dot_d(F.col("_v"), F.col("cvec"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.struct(
@@ -325,12 +310,15 @@ def _lloyd_rounds(vecs: DataFrame, seed_rows, iters: int) -> list:
     """Run ``iters`` Lloyd rounds over the persisted projection and return
     the refined [(cid, [double,...])] centroid rows.
 
-    Each round is one broadcast-assign pass plus ONE (cid)-keyed aggregate
-    with ``dim`` partial-aggregated sum columns — map-side combine reduces
-    the shuffle to partitions × k × (dim+1) values regardless of corpus
-    size (the previous posexplode shape shuffled corpus × dim rows per
-    round). The mean + round stays a JVM expression (sum/count, HALF_UP)
-    so both engines' Lloyd arithmetic converges to identical doubles."""
+    Each round is one broadcast-assign pass plus two aggregates: argmin
+    per vec_id (carrying ``_v`` through the aggregate — first() of a
+    per-key-constant column — so no join back to the projection is
+    needed), then ONE (cid)-keyed aggregate with ``dim``
+    partial-aggregated sum columns — map-side combine reduces that
+    shuffle to partitions × k × (dim+1) values regardless of corpus size
+    (the previous posexplode shape shuffled corpus × dim rows per round).
+    The mean + round stays a JVM expression (sum/count, HALF_UP) so both
+    engines' Lloyd arithmetic converges to identical doubles."""
     spark = vecs.sparkSession
     rows = list(seed_rows)
     if not rows:
@@ -338,10 +326,24 @@ def _lloyd_rounds(vecs: DataFrame, seed_rows, iters: int) -> list:
     dim = len(rows[0][1])
     for _ in range(iters):
         cents = _cents_literal(spark, rows)
-        assign = _nearest_cid(vecs, cents, dim)
+        dot = _dot_d(F.col("_v"), F.col("cvec"))
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "_v",
+            F.struct(
+                F.round(
+                    -dot / (F.col("vnrm") * F.col("cnrm")), SCORE_DECIMALS
+                ).alias("negcos"),
+                F.col("cid").alias("cid"),
+            ).alias("key"),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min("key").alias("key"), F.first("_v").alias("_v"))
+            .select(F.col("key.cid").alias("cid"), "_v")
+        )
         sums = (
-            assign.join(vecs, "vec_id")
-            .groupBy("cid")
+            assigned.groupBy("cid")
             .agg(
                 F.count("*").alias("_n"),
                 *[
@@ -472,11 +474,7 @@ def ivf_topk(
             "query_id",
             "cid",
             F.round(
-                (
-                    _dot_unrolled(F.col("qvec"), F.col("cvec"), dim)
-                    if dim
-                    else _dot_d(F.col("qvec"), F.col("cvec"))
-                )
+                _dot_d(F.col("qvec"), F.col("cvec"))
                 / (F.col("qnrm") * F.col("cnrm")),
                 SCORE_DECIMALS,
             ).alias("ccos"),
@@ -503,11 +501,7 @@ def ivf_topk(
             "query_id",
             "vec_id",
             F.round(
-                (
-                    _dot_unrolled(F.col("_v"), F.col("qvec"), dim)
-                    if dim
-                    else _dot_d(F.col("_v"), F.col("qvec"))
-                )
+                _dot_d(F.col("_v"), F.col("qvec"))
                 / (F.col("vnrm") * F.col("qnrm")),
                 SCORE_DECIMALS,
             ).alias("cosine"),
