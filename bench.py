@@ -20,6 +20,38 @@ import statistics
 import sys
 import time
 
+# ---------------------------------------------------------------------------
+# Host-drift sentinels: two PINNED operations that never change with engine
+# code — a fixed arithmetic job (CPU-bound, no IO) and a fixed parquet
+# scan+agg over the input dir (IO+decode-bound). Their quiet-box medians are
+# recorded below; a bench run re-times them and reports
+# host_drift = median(measured / baseline), so a degraded box (round-3's
+# unattributable 24% regression: unchanged operators measured 2-4x slower)
+# self-identifies instead of poisoning the headline. extras carries both the
+# raw sentinel seconds and the drift factor; value_normalized = value/drift.
+# ---------------------------------------------------------------------------
+SENTINEL_BASELINE = {  # quiet-box medians, local[32], recorded 2026-08-17 (r4)
+    "range_agg": 0.19,
+    "scan_agg": 0.29,
+}
+
+
+def _sentinels(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    t0 = time.time()
+    spark.range(64_000_000).selectExpr("sum(id * 2 + 1) as s").collect()
+    out["range_agg"] = time.time() - t0
+    t0 = time.time()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.count("*"), F.sum(F.length("text")))
+        .collect()
+    )
+    out["scan_agg"] = time.time() - t0
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,6 +84,10 @@ def main() -> None:
         if reps > 1:
             qs = sorted(samples)
             extras[f"{name}_p95"] = round(qs[min(len(qs) - 1, int(0.95 * len(qs)))], 4)
+
+    # ---- host-drift sentinels (pre-pipeline: 2 warmup + 3 timed) ----------
+    _sentinels(spark, sf_dir)  # warm JVM/codegen/page cache once
+    sentinel_samples = [_sentinels(spark, sf_dir) for _ in range(3)]
 
     # ---- index build (cold): documents corpus → compressed block index ----
     t0 = time.time()
@@ -114,6 +150,16 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- host-drift sentinels (post-pipeline: 2 more timed samples) --------
+    sentinel_samples += [_sentinels(spark, sf_dir) for _ in range(2)]
+    drifts = []
+    for key, base in SENTINEL_BASELINE.items():
+        med = statistics.median(s[key] for s in sentinel_samples)
+        extras[f"sentinel_{key}"] = round(med, 4)
+        drifts.append(med / base)
+    host_drift = round(statistics.median(drifts), 3)
+    extras["host_drift"] = host_drift
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline pipeline seconds (index build + block-path search + analysis ops)",
@@ -124,6 +170,9 @@ def main() -> None:
         "cpus": cpus,
         "n_docs": n_docs,
         "extras": extras,
+        # headline scaled by the sentinel drift factor: what a quiet box
+        # would have measured (>1 drift = this box is slower than baseline)
+        "value_normalized": round(total / max(host_drift, 1e-9), 4),
     }
     print(json.dumps(out))
     sys.stdout.flush()
