@@ -307,6 +307,26 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+_ANN_INDEXED: set[str] = set()
+
+
+def q_ann_ivf_served(spark, sf_dir):
+    """IVF top-k SERVED from the persisted index (ann_centroids +
+    cid-partitioned ann_lists in the engine catalog): quantizer training +
+    corpus assignment run once in build_ivf_index; the query itself is a
+    partition-pruned list scan — bit-identical to q_ann_ivf's math, so the
+    same oracle gates both."""
+    eng = _engine(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _ANN_INDEXED:
+        eng.build_ann_index(emb, n_centroids=IVF_CENTROIDS)
+        _ANN_INDEXED.add(key)
+    return eng.ann_topk(emb, ANN_PROBES, k=ANN_K, nprobe=IVF_NPROBE).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Seeded random-hyperplane LSH bucket histogram (n_bits × n_tables)."""
     return (
@@ -454,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_served": q_ann_ivf_served,
         "q_lsh_buckets": q_lsh_buckets,
         "q_embed_neardup": q_embed_neardup,
         "q_lang_id": q_lang_id,
@@ -952,6 +973,9 @@ select query_id, cast(rank as bigint) as rank, vec_id, cosine from (
   from fcos
 ) where rank <= {ANN_K}
 """,
+        # the served path's math is shared with q_ann_ivf (same persisted
+        # centroids/assignment/norm doubles) — the same oracle gates both
+        "q_ann_ivf_served": None,  # filled below from q_ann_ivf
         "q_lsh_buckets": f"""
 with {_bk_cte()}
 select lsh_table, bucket, count(*) as n_vecs
@@ -1118,6 +1142,7 @@ select doc_id, media_type,
 from pl
 """,
     }
+    sqls["q_ann_ivf_served"] = sqls["q_ann_ivf"]
     # transitive closure over the SAME verified pair set q_simhash_pairs
     # emits: component = min doc_id reachable through any pair chain
     sqls["q_dup_groups"] = f"""

@@ -533,6 +533,165 @@ def ivf_topk(
     return result
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    catalog,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+    prefix: str = "ann",
+) -> dict:
+    """Build and PERSIST the IVF index: ``{prefix}_centroids`` (cid, cvec,
+    cnrm — k literal rows) and ``{prefix}_lists`` (cid, vec_id, vec, vnrm —
+    the inverted lists, PARTITIONED BY cid, carrying each vector + its norm
+    so serving never joins back to the source table). ``catalog`` is a
+    ``sources.catalog.TableCatalog``.
+
+    This is the served-ANN shape for 100 TB: quantizer training (seed +
+    ``iters`` Lloyd rounds) and the full corpus assignment run ONCE here —
+    :func:`ivf_topk_indexed` then reads only the probed cids' list
+    partitions and runs zero Lloyd/assignment work per query (reference
+    analog: the index is persistent, ``repository/IndexRepository.java:10-12``).
+    Lists are written before centroids; centroids are the commit marker
+    (serving reads them first), so a crashed build leaves the previous
+    index intact under the catalog's atomic table swap. Returns
+    ``{"n_centroids": k, "n_vectors": n}``."""
+    spark = embeddings.sparkSession
+    vecs = _ivf_vecs(embeddings, id_col, vec_col)
+    try:
+        rows = _lloyd_rounds(
+            vecs, _seed_rows(embeddings, n_centroids, id_col, vec_col), iters
+        )
+        cents = _cents_literal(spark, rows)
+        dim = len(rows[0][1]) if rows else None
+        assign = _nearest_cid(vecs, cents, dim)
+        lists = assign.join(vecs, "vec_id").select(
+            "cid",
+            "vec_id",
+            F.col("_v").alias("vec"),
+            F.col("vnrm").alias("vnrm"),
+        )
+        catalog.write(
+            lists, f"{prefix}_lists",
+            partition_by=["cid"], sort_by=["cid", "vec_id"],
+        )
+        catalog.replace(cents, f"{prefix}_centroids")
+        n_vectors = int(
+            catalog.read(f"{prefix}_lists").count()
+        )
+    finally:
+        vecs.unpersist()
+    return {"n_centroids": len(rows), "n_vectors": n_vectors}
+
+
+def ivf_topk_indexed(
+    embeddings: DataFrame,
+    catalog,
+    probe_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "ann",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): IVF top-k served FROM the persisted
+    index (:func:`build_ivf_index`) — bit-identical results to
+    :func:`ivf_topk` at the same (n_centroids, nprobe, iters), since the
+    stored centroids/assignment/norms are the same doubles and the scoring
+    expressions are shared.
+
+    Per-query cost shape: one collect of the k-row centroid table, one tiny
+    probe×centroid ranking job (broadcast × literal), then ONE
+    partition-pruned scan of the ≤ |probes|·nprobe probed cids' list
+    partitions (~nprobe/n_centroids of the corpus) joined against the
+    broadcast probe set — no Lloyd rounds, no corpus-wide assignment, no
+    join back to the source table (the lists carry vec + norm).
+    ``embeddings`` supplies only the PROBE vectors (vec_id-pruned read)."""
+    spark = embeddings.sparkSession
+    crows = catalog.read(f"{prefix}_centroids").collect()
+    cents = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cvec"]], float(r["cnrm"]))
+         for r in crows],
+        "cid long, cvec array<double>, cnrm double",
+    )
+    probes_df = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
+    )
+    pc_rows = (
+        probes_df.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cid",
+            F.round(
+                _dot_d(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                SCORE_DECIMALS,
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cid")
+        .collect()
+    )
+    if not pc_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double"
+        )
+    cids = sorted({int(r["cid"]) for r in pc_rows})
+    pc = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["query_id"]), int(r["cid"])) for r in pc_rows],
+            "query_id long, cid long",
+        )
+    )
+    # cid isin → partition pruning: only the probed lists' files are read
+    lists = catalog.read(f"{prefix}_lists").filter(F.col("cid").isin(cids))
+    scored = (
+        lists.join(pc, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(probes_df), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot_d(F.col("vec"), F.col("qvec"))
+                / (F.col("vnrm") * F.col("qnrm")),
+                SCORE_DECIMALS,
+            ).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col("vec_id").asc()]
+    partial = (
+        scored.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id", "_pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    return (
+        partial.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(*order)),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def lsh_bucket_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
@@ -559,18 +718,29 @@ def lsh_bucket_pairs(
         embeddings, n_bits, n_tables, seed, id_col, vec_col, dim=dim
     )
     cand = star_pairs(buckets, ["lsh_table", "bucket"], "vec_id")
+    # project (vid, vec, norm) ONCE before the join: each vector's norm is
+    # computed in the scan projection (once per vector per side), not
+    # re-derived inside the pair expression (once per PAIR per side) — a hot
+    # vector in many candidate pairs pays its O(dim) norm a single time
     vecs = embeddings.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    va = vecs.select(
+        F.col("_vid").alias("a"), F.col("_vec").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("_vid").alias("b"), F.col("_vec").alias("_vb"), F.col("_nrm").alias("_nb")
     )
     return (
-        cand.join(vecs.withColumnRenamed("_vid", "a").withColumnRenamed("_vec", "_va"), "a")
-        .join(vecs.withColumnRenamed("_vid", "b").withColumnRenamed("_vec", "_vb"), "b")
+        cand.join(va, "a")
+        .join(vb, "b")
         .select(
             "a",
             "b",
             F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
                 SCORE_DECIMALS,
             ).alias("cosine"),
         )

@@ -352,12 +352,33 @@ def connected_components(
             .distinct()
         )
 
+    def _signature(e: DataFrame):
+        """(edge count, sum of per-edge hashes): one aggregate job. Both
+        sides of the alternation emit DISTINCT edge sets, so set equality ⟺
+        multiset equality, and an (n, Σhash) match across rounds certifies
+        the fixpoint without the two exceptAll jobs the previous check ran
+        (4 → 3 driver jobs per round)."""
+        r = e.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("a", "b")).alias("h")
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] or 0)
+
+    sig = _signature(edges)
+    converged = False
     for _ in range(max_iter):
-        nxt = small_star(large_star(edges)).localCheckpoint()
-        if nxt.exceptAll(edges).isEmpty() and edges.exceptAll(nxt).isEmpty():
-            edges = nxt
+        edges = small_star(large_star(edges)).localCheckpoint()
+        nxt_sig = _signature(edges)
+        if nxt_sig == sig:
+            converged = True
             break
-        edges = nxt
+        sig = nxt_sig
+    if not converged:
+        # an unconverged edge multiset is not star-shaped; the (member, root)
+        # labeling below would be silently wrong — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological graph?); raise max_iter"
+        )
 
     # fixpoint: every edge is (member, root). Roots label themselves.
     members = edges.select(

@@ -99,6 +99,15 @@ class EngineConfig:
     # Snippet window in words (LemmaSearcherImpl.java:218).
     snippet_window: int = 40
 
+    # Streaming auto-compaction cadence: after every N committed foreachBatch
+    # epochs, the stream compacts the shards the append path may have
+    # fragmented (plans/compaction.compact_shard over appended_shards) so a
+    # long-running stream converges to fresh-build block geometry without a
+    # manual maintenance call. 0 disables (manual compact_appended() only).
+    # Each compaction is a bounded per-shard job — the stream pays it
+    # between batches, never inside one.
+    compact_every_epochs: int = 8
+
     def shard_size(self, n_docs: int) -> int:
         """Resolve docs_per_shard: aim ≈4 shards/core, with a floor of 4096
         docs/shard so shard count (== query-kernel task count) never explodes

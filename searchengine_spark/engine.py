@@ -56,13 +56,23 @@ class SearchEngine:
             # are maintained counters, site ranges live in the sites table —
             # NO corpus-sized job runs before the first query
             meta = cat.read_meta()
-            site_rows = cat.read("sites").collect()
+            sites_df = cat.read("sites")
+            site_rows = sites_df.collect()
             site_ids = {r["site"]: int(r["sid"]) for r in site_rows}
-            site_ranges = {
-                r["site"]: (int(r["lo"]), int(r["hi"])) for r in site_rows
-            }
-            n_docs = int(meta["n_docs"])
-            avgdl = meta["sum_doc_len"] / n_docs if n_docs else 0.0
+            # compat: warehouses built before the maintained-counter /
+            # site-range format fall back to BlockSearcher's documents-scan
+            # derivation (None args) instead of KeyError-ing — same posture
+            # as the .get fallbacks for flat_group_docs / mut_seq
+            site_ranges = (
+                {r["site"]: (int(r["lo"]), int(r["hi"])) for r in site_rows}
+                if {"lo", "hi"} <= set(sites_df.columns)
+                else None
+            )
+            if "n_docs" in meta and "sum_doc_len" in meta:
+                n_docs = int(meta["n_docs"])
+                avgdl = meta["sum_doc_len"] / n_docs if n_docs else 0.0
+            else:
+                n_docs = avgdl = None
             self._searcher = BlockSearcher(
                 blocks=cat.read("postings"),
                 documents=cat.read("documents"),
@@ -150,6 +160,28 @@ class SearchEngine:
         if n:
             self._searcher = None
         return n
+
+    # ---- ANN: persisted IVF index over an embedding table -----------------------
+    def build_ann_index(self, embeddings: DataFrame, n_centroids: int = 16,
+                        **kw) -> dict:
+        """Train the IVF quantizer (seeded k-means) ONCE and persist
+        ``ann_centroids`` + cid-partitioned ``ann_lists`` in the engine's
+        catalog — the served-ANN analog of the persistent inverted index
+        (repository/IndexRepository.java:10-12)."""
+        from searchengine_spark.analysis.ann import build_ivf_index
+
+        return build_ivf_index(embeddings, self.catalog, n_centroids, **kw)
+
+    def ann_topk(self, embeddings: DataFrame, probe_ids: list[int],
+                 k: int = 10, nprobe: int = 4, **kw) -> DataFrame:
+        """Serve IVF top-k from the persisted index: zero quantizer /
+        assignment work per query, partition-pruned list scans only.
+        ``embeddings`` supplies the probe vectors."""
+        from searchengine_spark.analysis.ann import ivf_topk_indexed
+
+        return ivf_topk_indexed(
+            embeddings, self.catalog, probe_ids, k=k, nprobe=nprobe, **kw
+        )
 
     # ---- maintenance: squash streaming-append block tails -----------------------
     def compact_shard(self, shard: int) -> int:

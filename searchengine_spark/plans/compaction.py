@@ -40,7 +40,21 @@ def compact_shard(
     count after compaction."""
     cfg = cfg or EngineConfig()
     cat = TableCatalog(spark, warehouse)
+    cat.recover_all()  # repair any crash-interrupted partition swap first
     meta = cat.read_meta()
+    # a crashed append/upsert must be repaired/completed before re-encoding
+    # from postings_flat, or orphan rows / missing term_ids leak into blocks
+    from searchengine_spark.plans.incremental import complete_pending_mutation
+    from searchengine_spark.plans.latedata import fence_orphans
+
+    fence_orphans(
+        cat,
+        int(meta["max_doc_id"]) + 1,
+        int(meta["shard_size"]),
+        int(meta.get("flat_group_docs", meta["shard_size"])),
+    )
+    if complete_pending_mutation(spark, cat, cfg):
+        meta = cat.read_meta()
     shard_size = int(meta["shard_size"])
     fgd = int(meta.get("flat_group_docs", shard_size))
     n_docs = int(meta["n_docs"])

@@ -28,9 +28,28 @@ O(one document), never O(corpus):
   approximate) block_max_score; the query kernel's pruning bound is derived
   from immutable block_max_tf + current idf, so pruning stays sound under
   drift (operators/search.py);
-- ``index_meta`` commits the counter updates LAST (atomic swap): a crashed
-  upsert leaves the old watermark, and the retry re-derives the identical
-  mutation (see plans/latedata.py's commit protocol).
+- ``index_meta`` commits the counter updates LAST (atomic swap).
+
+Crash safety — the WRITE-AHEAD JOURNAL. The upsert's deltas depend on the
+doc's OLD state (its previous postings_flat rows and doc_len), which the
+mutation itself overwrites in steps 1-2; a naive retry of a crashed attempt
+would re-derive "old" state from half-rewritten tables, compute empty/zero
+deltas, and permanently corrupt terms/terms_global (new terms would then
+lose their term_ids and their flat postings be dropped by the encoder's
+terms_global join). So ``reindex_turn``:
+
+1. repairs crash-interrupted partition swaps (``TableCatalog.recover_all``)
+   and fences any crashed APPEND's orphan rows (``latedata.fence_orphans``)
+   — committed state is now clean;
+2. if an uncommitted ``mutation_journal`` exists (journal.mut_seq ==
+   committed mut_seq + 1), COMPLETES that mutation first from the
+   journaled old state — every table write is a deterministic function of
+   (journal, committed meta), and ``apply_term_deltas``'s mut_seq stamps
+   skip whatever buckets the crashed attempt already committed;
+3. derives the new mutation's old state from committed tables ONLY, writes
+   it to ``mutation_journal`` (atomic swap) BEFORE the first table write,
+   then applies. A journal whose mut_seq ≤ committed mut_seq is stale
+   (that mutation committed) and is ignored.
 
 Untouched partition files are byte-identical after an upsert
 (``test_incremental_partition_stability``).
@@ -55,10 +74,72 @@ from searchengine_spark.operators.search import DOCLEN_TERM, SITE_TERM
 from searchengine_spark.plans.build_index import _append_state
 from searchengine_spark.plans.latedata import (
     apply_term_deltas,
+    fence_orphans,
     update_sites,
 )
 from searchengine_spark.sources.catalog import TableCatalog, tiny_df
 from searchengine_spark.sources.transcripts import site_of_conv
+
+JOURNAL_TABLE = "mutation_journal"
+JOURNAL_SCHEMA = (
+    "mut_seq long, conv_id string, turn_idx int, text string, doc_id long, "
+    "old_doc_len int, is_insert int, old_terms array<string>, old_tfs array<long>"
+)
+
+
+def _read_journal(cat: TableCatalog) -> dict | None:
+    if not cat.exists(JOURNAL_TABLE):
+        return None
+    rows = cat.read(JOURNAL_TABLE).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    return {
+        "mut_seq": int(r["mut_seq"]),
+        "conv_id": r["conv_id"],
+        "turn_idx": int(r["turn_idx"]),
+        "text": r["text"],
+        "doc_id": int(r["doc_id"]),
+        "old_doc_len": int(r["old_doc_len"]),
+        "is_insert": bool(r["is_insert"]),
+        "old_rows": {
+            t: int(c) for t, c in zip(r["old_terms"], r["old_tfs"])
+        },
+    }
+
+
+def _write_journal(cat: TableCatalog, st: dict) -> None:
+    old_terms = sorted(st["old_rows"])
+    cat.replace(
+        tiny_df(
+            cat.spark,
+            [(
+                st["mut_seq"], st["conv_id"], st["turn_idx"], st["text"],
+                st["doc_id"], st["old_doc_len"], int(st["is_insert"]),
+                old_terms, [st["old_rows"][t] for t in old_terms],
+            )],
+            JOURNAL_SCHEMA,
+        ),
+        JOURNAL_TABLE,
+    )
+
+
+def complete_pending_mutation(
+    spark: SparkSession, cat: TableCatalog, cfg: EngineConfig
+) -> bool:
+    """Complete a crashed upsert left in ``mutation_journal`` (journal
+    mut_seq == committed mut_seq + 1). EVERY mutation entry point (upsert,
+    streaming append, compaction) calls this after swap recovery + orphan
+    fencing — otherwise a later append would claim the same mut_seq as the
+    half-applied upsert and its bucket increments would be skipped by the
+    upsert's stamps. Returns True if a pending mutation was applied (the
+    caller re-reads index_meta)."""
+    meta = cat.read_meta()
+    j = _read_journal(cat)
+    if j is None or j["mut_seq"] != int(meta.get("mut_seq", 0)) + 1:
+        return False
+    _apply_upsert(spark, cat, j, cfg, meta)
+    return True
 
 
 def reindex_turn(
@@ -69,22 +150,48 @@ def reindex_turn(
     text: str,
     cfg: EngineConfig | None = None,
 ) -> int:
-    """Insert or replace one turn's index entries. Returns its doc_id."""
+    """Insert or replace one turn's index entries. Returns its doc_id.
+    Crash-safe under retry: see the module docstring's journal protocol."""
     cfg = cfg or EngineConfig()
     cat = TableCatalog(spark, warehouse)
-    t0 = time.time()
-    site = site_of_conv(conv_id)
+    turn_idx = int(turn_idx)
 
-    # frozen physical geometry + maintained corpus counters (index_meta):
-    # layout is never re-derived, stats are never re-scanned
+    # -- recovery: clean committed state before reading any of it ------------
+    cat.recover_all()
     meta = cat.read_meta()
+    fence_orphans(
+        cat,
+        int(meta["max_doc_id"]) + 1,
+        int(meta["shard_size"]),
+        int(meta.get("flat_group_docs", meta["shard_size"])),
+    )
+
+    # -- complete a crashed upsert from its journaled old state --------------
+    j = _read_journal(cat)
+    if j is not None and j["mut_seq"] == int(meta.get("mut_seq", 0)) + 1:
+        _apply_upsert(spark, cat, j, cfg, meta)
+        if (j["conv_id"], j["turn_idx"], j["text"]) == (conv_id, turn_idx, text):
+            return j["doc_id"]  # the crashed mutation WAS this request
+        meta = cat.read_meta()
+
+    # -- derive the new mutation's old state from COMMITTED tables only ------
+    st = _derive_state(cat, meta, conv_id, turn_idx, text)
+    # write-ahead: journal the mutation (atomic swap) before any table write
+    _write_journal(cat, st)
+    return _apply_upsert(spark, cat, st, cfg, meta)
+
+
+def _derive_state(
+    cat: TableCatalog, meta: dict, conv_id: str, turn_idx: int, text: str
+) -> dict:
+    """The mutation record: everything a (re-)application needs that the
+    mutation itself will overwrite — the doc's id, previous doc_len, and
+    previous postings_flat rows."""
     shard_size = int(meta["shard_size"])
-    nb = int(meta.get("term_buckets", cfg.n_term_buckets()))
     fgd = int(meta.get("flat_group_docs", shard_size))
-    mut_seq = int(meta.get("mut_seq", 0)) + 1
 
     docs = cat.read("documents")
-    # conv_id isin → parquet row-group pruning (doc ids are assigned in
+    # conv_id filter → parquet row-group pruning (doc ids are assigned in
     # (conv_id, turn_idx) order, so file-level conv_id min/max are tight)
     existing = docs.filter(
         (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
@@ -97,23 +204,58 @@ def reindex_turn(
         doc_id = int(meta["max_doc_id"]) + 1
         old_doc_len = 0
         is_insert = True
+    dgrp = doc_id // fgd
+
+    # the doc's OLD rows: cell-pruned (sgrp) + doc-id row-group-pruned read
+    old_rows = {
+        r["term"]: int(r["tf"])
+        for r in cat.read("postings_flat").filter(
+            (F.col("sgrp") == dgrp)
+            & (F.col("bucket") >= 0)
+            & (F.col("doc_id") == doc_id)
+        ).select("term", "tf").collect()
+    }
+    return {
+        "mut_seq": int(meta.get("mut_seq", 0)) + 1,
+        "conv_id": conv_id,
+        "turn_idx": turn_idx,
+        "text": text,
+        "doc_id": doc_id,
+        "old_doc_len": old_doc_len,
+        "is_insert": is_insert,
+        "old_rows": old_rows,
+    }
+
+
+def _apply_upsert(
+    spark: SparkSession,
+    cat: TableCatalog,
+    st: dict,
+    cfg: EngineConfig,
+    meta: dict,
+) -> int:
+    """Apply a journaled mutation. Deterministic given (st, committed meta):
+    a retry re-runs every write identically — the cell/shard rewrites are
+    idempotent (same content), and the non-idempotent term increments are
+    fenced by apply_term_deltas' mut_seq bucket stamps."""
+    t0 = time.time()
+    conv_id, turn_idx, text = st["conv_id"], st["turn_idx"], st["text"]
+    doc_id, old_doc_len = st["doc_id"], st["old_doc_len"]
+    site = site_of_conv(conv_id)
+
+    # frozen physical geometry + maintained corpus counters (index_meta):
+    # layout is never re-derived, stats are never re-scanned
+    shard_size = int(meta["shard_size"])
+    nb = int(meta.get("term_buckets", cfg.n_term_buckets()))
+    fgd = int(meta.get("flat_group_docs", shard_size))
+    mut_seq = st["mut_seq"]
     dshard = doc_id // shard_size
     dgrp = doc_id // fgd
 
     counts = lemma_counts(text)
     doc_len = sum(counts.values())
     new_terms = set(counts)
-
-    flat = cat.read("postings_flat")
-    # the doc's OLD rows: cell-pruned (sgrp) + doc-id row-group-pruned read
-    old_rows = {
-        r["term"]: int(r["tf"])
-        for r in flat.filter(
-            (F.col("sgrp") == dgrp)
-            & (F.col("bucket") >= 0)
-            & (F.col("doc_id") == doc_id)
-        ).select("term", "tf").collect()
-    }
+    old_rows = st["old_rows"]
     old_terms = set(old_rows)
     affected = sorted(old_terms | new_terms)
     abuckets = sorted({term_bucket_py(t, nb) for t in affected})
@@ -130,6 +272,7 @@ def reindex_turn(
     cell_cond = F.lit(False)
     for b, _ in cells:
         cell_cond = cell_cond | (F.col("bucket") == b)
+    flat = cat.read("postings_flat")
     keep_rows = flat.filter(
         cell_cond & (F.col("sgrp") == dgrp) & (F.col("doc_id") != doc_id)
     ).select("doc_id", "site", "doc_len", "term", "tf")
@@ -146,6 +289,7 @@ def reindex_turn(
     )
 
     # --- documents: rewrite the doc's shard partition -----------------------
+    docs = cat.read("documents")
     new_doc = tiny_df(
         spark,
         [(doc_id, conv_id, turn_idx, site, doc_len, dshard)],
@@ -164,7 +308,7 @@ def reindex_turn(
     )
 
     # --- corpus counters (maintained, never re-scanned) ---------------------
-    n_docs = int(meta["n_docs"]) + (1 if is_insert else 0)
+    n_docs = int(meta["n_docs"]) + (1 if st["is_insert"] else 0)
     sum_doc_len = int(meta["sum_doc_len"]) - old_doc_len + doc_len
     avgdl = sum_doc_len / n_docs if n_docs else 0.0
 
@@ -224,7 +368,8 @@ def reindex_turn(
     )
 
     # --- commit: counters last (atomic swap — see latedata protocol) --------
-    meta.update(
+    committed = dict(meta)
+    committed.update(
         {
             "n_docs": n_docs,
             "sum_doc_len": sum_doc_len,
@@ -233,7 +378,7 @@ def reindex_turn(
             "mut_seq": mut_seq,
         }
     )
-    cat.write_meta(meta)
+    cat.write_meta(committed)
 
     _append_state(
         cat,

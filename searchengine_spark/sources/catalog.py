@@ -93,22 +93,84 @@ class TableCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
 
+    def _swap_dir(self, src: str, dst: str) -> None:
+        """Crash-safe directory replace: move the old dir ASIDE (rename, not
+        rmtree) before moving the replacement in, then delete the old one.
+        The destination is absent only between two same-filesystem renames;
+        a crash in that window leaves ``dst__old`` on disk, which
+        :meth:`recover_swaps` restores — the previous rmtree-first swap left
+        an unrecoverable EMPTY partition, which the increment-based terms
+        maintenance would silently rebuild from deltas alone (losing every
+        other term in the bucket)."""
+        import shutil
+
+        old = dst + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def recover_swaps(self, name: str) -> bool:
+        """Repair a crashed :meth:`_swap_dir`: any ``*__old`` directory under
+        the table whose final twin is MISSING is renamed back (crash between
+        rename-out and move-in); one whose twin exists is deleted (crash
+        after move-in, before cleanup — the new content already won). Called
+        by every mutation entry point BEFORE reading committed state (the
+        single-writer protocol's recovery step). Returns True if anything
+        was repaired. No-op under Iceberg (snapshot isolation)."""
+        if self.iceberg_catalog:
+            return False
+        import shutil
+
+        base = self.path(name)
+        if not os.path.isdir(base):
+            return False
+        pending = []
+        for root, dirs, _files in os.walk(base):
+            for d in dirs:
+                if d.endswith("__old"):
+                    pending.append(os.path.join(root, d))
+        if base.endswith("__old"):  # whole-table swap crashed
+            pending.append(base)
+        repaired = False
+        for old in pending:
+            dst = old[: -len("__old")]
+            if os.path.isdir(dst):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, dst)
+            repaired = True
+        if repaired:
+            self.spark.catalog.refreshByPath(self.path(name.removesuffix("__old")))
+        return repaired
+
+    def recover_all(self) -> list[str]:
+        """Run :meth:`recover_swaps` over every table dir in the warehouse
+        (driver-side fs walk, no Spark job). Mutation entry points call this
+        once before their first read."""
+        if self.iceberg_catalog or not os.path.isdir(self.warehouse):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.warehouse)):
+            if os.path.isdir(self.path(name)) and self.recover_swaps(name):
+                out.append(name)
+        return out
+
     def replace(self, df: DataFrame, name: str, sort_by: list[str] | None = None) -> None:
         """Overwrite a table whose current contents feed ``df`` (read-modify-
-        write): materialize to a temp dir first, then swap. With Iceberg this
-        is a plain ``createOrReplace`` (snapshot isolation makes it safe)."""
+        write): materialize to a temp dir first, then swap crash-safely. With
+        Iceberg this is a plain ``createOrReplace`` (snapshot isolation)."""
         if self.iceberg_catalog:
             self.write(df, name, mode="overwrite", sort_by=sort_by)
             return
-        import shutil
-
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         tmp = self.path(f"{name}__tmp")
         df.write.mode("overwrite").parquet(tmp)
         final = self.path(name)
-        shutil.rmtree(final, ignore_errors=True)
-        shutil.move(tmp, final)
+        self._swap_dir(tmp, final)
         # the swap bypassed Spark's writers: drop the stale file-listing
         # cache or later scans enumerate the removed files
         self.spark.catalog.refreshByPath(final)
@@ -154,11 +216,11 @@ class TableCatalog:
             vals = (v,) if not isinstance(v, (tuple, list)) else tuple(v)
             sub = os.path.join(*(f"{c}={x}" for c, x in zip(cols, vals)))
             dst = os.path.join(final, sub)
-            shutil.rmtree(dst, ignore_errors=True)
             src = os.path.join(tmp, sub)
-            if os.path.isdir(src):  # absent → partition is now empty
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
+            if os.path.isdir(src):
+                self._swap_dir(src, dst)  # crash-safe per-partition replace
+            else:  # absent from df → the partition is now empty
+                shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         # the swap bypassed Spark's writers: drop the stale file-listing
         # cache or later scans enumerate the removed files

@@ -11,7 +11,10 @@ epoch replays with identical data after a crash; the sink must be
 idempotent per epoch):
 
 - index_meta is the commit record, written LAST (atomic swap). A fully
-  committed epoch replay short-circuits on ``meta.stream_epoch``.
+  committed epoch replay short-circuits on ``meta.stream_epoch`` — scoped
+  to the checkpoint via ``meta.stream_run`` (the StreamingQuery id), so a
+  stream restarted against a FRESH checkpoint (epoch ids back at 0) is
+  never mistaken for a replay of the old run's committed epochs.
 - A PARTIALLY committed epoch (crash mid-batch) is repaired by
   :func:`latedata.fence_orphans`: every appended row carries doc_id above
   the committed watermark, so the retry drops the orphans from the tail
@@ -58,6 +61,7 @@ squashes them without touching text.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -87,17 +91,31 @@ def append_turns(
     transcripts: DataFrame,
     cfg: EngineConfig | None = None,
     epoch: int | None = None,
+    run_id: int | None = None,
 ) -> int:
     """Append a batch of NEW turns to an existing index; returns the number
     of documents added. Turns whose (conv_id, turn_idx) already exist are
     dropped (idempotent re-delivery; use ``reindex_turn`` to change text).
     ``epoch`` is the streaming micro-batch id — committed epochs replay as
-    no-ops; partial commits are repaired then redone (module docstring)."""
+    no-ops; partial commits are repaired then redone (module docstring).
+
+    ``run_id`` scopes the committed-epoch watermark to one streaming
+    CHECKPOINT (the StreamingQuery's persistent id — :func:`stream_transcripts`
+    derives it). Epoch ids restart at 0 whenever a stream starts with a
+    fresh checkpoint directory; without the scope, every batch of the new
+    stream would silently no-op until its epoch counter exceeded the old
+    run's high-water mark, losing genuinely new documents. A mismatched
+    run_id therefore IGNORES the stored watermark (processes the batch) and
+    commits the new (run, epoch) pair; a missing run_id (direct batch calls)
+    keeps the bare epoch comparison."""
     cfg = cfg or EngineConfig()
     cat = TableCatalog(spark, warehouse)
+    cat.recover_all()  # repair any crash-interrupted partition swap first
     meta = cat.read_meta()
-    if epoch is not None and int(meta.get("stream_epoch", -1)) >= epoch:
-        return 0  # fully committed epoch replayed by the checkpoint
+    if epoch is not None:
+        same_run = run_id is None or int(meta.get("stream_run", run_id)) == run_id
+        if same_run and int(meta.get("stream_epoch", -1)) >= epoch:
+            return 0  # fully committed epoch replayed by the checkpoint
     shard_size = int(meta["shard_size"])
     nb = int(meta.get("term_buckets", cfg.n_term_buckets()))
     fgd = int(meta.get("flat_group_docs", shard_size))
@@ -107,6 +125,15 @@ def append_turns(
     # repair a crashed attempt's partial appends (no-op in the happy path:
     # three partition-pruned probes of the tail shards/cells)
     fence_orphans(cat, base_id, shard_size, fgd)
+    # complete a crashed UPSERT before claiming its mut_seq (journal protocol,
+    # plans/incremental.py): its bucket stamps would otherwise swallow this
+    # batch's term increments
+    from searchengine_spark.plans.incremental import complete_pending_mutation
+
+    if complete_pending_mutation(spark, cat, cfg):
+        meta = cat.read_meta()
+        base_id = int(meta["max_doc_id"]) + 1
+        mut_seq = int(meta.get("mut_seq", 0)) + 1
 
     # deterministic winner for intra-batch duplicate keys: latest ts, then
     # lexically greatest text (a replayed epoch re-picks the same row);
@@ -129,6 +156,8 @@ def append_turns(
     if not convs:
         if epoch is not None:
             meta["stream_epoch"] = epoch
+            if run_id is not None:
+                meta["stream_run"] = run_id
             cat.write_meta(meta)
         return 0
     docs = cat.read("documents")
@@ -148,6 +177,8 @@ def append_turns(
     if n_new == 0:
         if epoch is not None:
             meta["stream_epoch"] = epoch
+            if run_id is not None:
+                meta["stream_run"] = run_id
             cat.write_meta(meta)
         return 0
 
@@ -258,6 +289,8 @@ def append_turns(
     )
     if epoch is not None:
         meta["stream_epoch"] = epoch
+        if run_id is not None:
+            meta["stream_run"] = run_id
     cat.write_meta(meta)
 
     return int(n_new)
@@ -287,8 +320,43 @@ def stream_transcripts(
         .parquet(input_path)
     )
 
+    run_ref: list[int] = []
+
+    def _run_id() -> int:
+        """Checkpoint-scoped run id: crc32 of the StreamingQuery's persistent
+        id (checkpoint/metadata, written once per checkpoint dir and stable
+        across restarts). A deleted/new checkpoint gets a new query id, so
+        its epoch-0 restart is never mistaken for a replay of the previous
+        run's committed epochs (the silent-drop bug run_id fences)."""
+        if not run_ref:
+            import json
+            import zlib
+
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as f:
+                    qid = json.load(f)["id"]
+            except (OSError, KeyError, ValueError):
+                qid = os.path.abspath(checkpoint)
+            run_ref.append(zlib.crc32(str(qid).encode()))
+        return run_ref[0]
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        append_turns(spark, warehouse, batch_df, cfg, epoch=int(epoch_id))
+        append_turns(
+            spark, warehouse, batch_df, cfg,
+            epoch=int(epoch_id), run_id=_run_id(),
+        )
+        # auto-compaction: every N committed epochs, squash the block tails
+        # the append path fragments (bounded per-shard jobs between batches)
+        n = cfg.compact_every_epochs
+        if n and epoch_id > 0 and int(epoch_id) % n == 0:
+            from searchengine_spark.plans.compaction import (
+                appended_shards,
+                compact_shard,
+            )
+
+            cat = TableCatalog(spark, warehouse)
+            for shard in appended_shards(cat):
+                compact_shard(spark, warehouse, shard, cfg)
 
     writer = src.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -210,6 +210,55 @@ def test_ivf_topk_recall_and_shape(spark):
     assert len(cents) == 8 and all(len(c) == 16 for c in cents["cvec"])
 
 
+def test_ivf_index_serves_without_rebuild(spark, monkeypatch, tmp_path):
+    """The persisted IVF path (VERDICT r3 #2): build_ivf_index writes
+    ann_centroids + cid-partitioned ann_lists ONCE; ivf_topk_indexed then
+    (a) returns results identical to the one-shot ivf_topk, (b) runs ZERO
+    quantizer work per query (seed/Lloyd/assignment monkeypatched to
+    explode), and (c) scans only the probed cids' list partitions."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.sources.catalog import TableCatalog
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = [
+        (centers[i % 4] + rng.standard_normal(16) * 0.2).astype("float32").tolist()
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": vecs}),
+        "vec_id long, embedding array<float>",
+    )
+    cat = TableCatalog(spark, str(tmp_path / "annwh"))
+    info = ann.build_ivf_index(emb, cat, n_centroids=8)
+    assert info == {"n_centroids": 8, "n_vectors": 200}
+
+    oneshot = ann.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=4).toPandas()
+
+    # serving must never train or assign: make every build-path entry explode
+    for fn in ("ivf_seed_centroids", "_seed_rows", "_lloyd_rounds",
+               "_nearest_cid", "_ivf_vecs"):
+        monkeypatch.setattr(
+            ann, fn,
+            lambda *a, _fn=fn, **k: (_ for _ in ()).throw(
+                AssertionError(f"serving path called {_fn}")
+            ),
+        )
+    served = ann.ivf_topk_indexed(emb, cat, [0, 1], k=5, nprobe=4).toPandas()
+    key = ["query_id", "rank"]
+    assert served.sort_values(key).reset_index(drop=True).equals(
+        oneshot.sort_values(key).reset_index(drop=True)
+    )
+
+    # partition pruning: the list scan's plan carries a cid partition filter
+    lists = cat.read("ann_lists")
+    cids = sorted(int(r["cid"]) for r in cat.read("ann_centroids").collect())[:2]
+    plan = lists.filter(F.col("cid").isin(cids))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+
 def test_event_windowed_counts(spark):
     import pandas as pd
 
