@@ -424,6 +424,26 @@ def q_decontam(spark, sf_dir):
     )
 
 
+def q_decontam_13(spark, sf_dir):
+    """Decontamination at production n=13 (the GPT-3 filter's actual gram
+    length): pins the punctuation/whitespace normalization contract — a
+    13-word span shared across splits collides regardless of how the
+    surrounding punctuation differs, because grams are built from the
+    letters-only token stream."""
+    return textstats.decontaminate(_documents(spark, sf_dir), n=13).select(
+        "doc_id", F.col("n_shared_grams").cast("long"), "sample_gram"
+    )
+
+
+def q_filter_summary(spark, sf_dir):
+    """Composite corpus quality filter: lang-ID + quality + repetition
+    thresholds applied in one pass; per-reason drop counts (the operator a
+    training pipeline actually calls)."""
+    return textstats.filter_summary(_documents(spark, sf_dir)).select(
+        "reason", F.col("n_docs").cast("long")
+    )
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -486,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
+        "q_decontam_13": q_decontam_13,
+        "q_filter_summary": q_filter_summary,
         "q_event_windows": q_event_windows,
         "q_sessions": q_sessions,
     }
@@ -509,7 +531,11 @@ wrd as (
 )
 """
 
-_GRAMS = f"""
+def _grams_cte(n: int = 3) -> str:
+    """word n-gram CTE matching textstats.word_ngrams exactly: len-n+1
+    grams per doc (DuckDB slices are 1-based, end-inclusive → arr[i:i+n-1]
+    is n words), none for docs shorter than n words."""
+    return f"""
 {_WRD},
 toks as (
   select doc_id,
@@ -520,12 +546,15 @@ toks as (
 grams as (
   select distinct doc_id, g as ngram from (
     select doc_id,
-           unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
-                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) as g
-    from toks where len(arr) >= 3
+           unnest(list_transform(range(1, greatest(len(arr) - {n} + 2, 1)),
+                  i -> array_to_string(arr[i:i+{n - 1}], ' '))) as g
+    from toks where len(arr) >= {n}
   )
 )
 """
+
+
+_GRAMS = _grams_cte(3)
 
 _EFLAT = """
 flat as (
@@ -685,9 +714,9 @@ from b
 """
 
 
-def _decontam_oracle() -> str:
+def _decontam_oracle(n: int = 3) -> str:
     return f"""
-with {_GRAMS},
+with {_grams_cte(n)},
 sp as (select doc_id, {_split_case_sql(_split_bucket_sql())} as split
        from documents),
 g as (select g.doc_id, g.ngram, s.split
@@ -698,6 +727,73 @@ tr as (select doc_id, ngram, md5(ngram) as gh from g where split = 'train')
 select tr.doc_id, count(*) as n_shared_grams, min(tr.ngram) as sample_gram
 from tr join eg on tr.gh = eg.gh
 group by tr.doc_id
+"""
+
+
+def _filter_summary_oracle() -> str:
+    """Composite-filter oracle generated from textstats.FILTER_DEFAULTS —
+    same signals, same precedence case-chain, no drift possible."""
+    t = textstats.FILTER_DEFAULTS
+    en_markers = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
+    lang_when = (
+        "when cast(n_en as double) / greatest(n_tokens, 1) < "
+        f"{textstats.LANG_EN_THRESHOLD!r} then 'non_english'"
+        if t["require_lang"] is not None
+        else ""
+    )
+    return f"""
+with {_WRD},
+wc as (select doc_id, word, count(*) as c from wrd group by 1, 2),
+agg as (
+  select doc_id, sum(c) as n_tokens, count(*) as n_distinct,
+         max(c) as top_count,
+         sum(case when word in ({en_markers}) then c else 0 end) as n_en
+  from wc group by doc_id
+),
+toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_WORD_SPLIT}'),
+                     x -> x <> '') as arr
+  from documents where text is not null and text <> ''
+),
+g2 as (
+  select doc_id,
+         case when len(arr) >= 2 then len(arr) - 1 else 0 end as n_grams,
+         case when len(arr) >= 2
+              then len(list_distinct(list_transform(range(1, len(arr)),
+                       i -> arr[i] || ' ' || arr[i+1])))
+              else 0 end as n_gram_distinct
+  from toks
+),
+sig as (
+  select g2.doc_id,
+         coalesce(a.n_tokens, 0) as n_tokens,
+         coalesce(a.n_distinct, 0) as n_distinct,
+         coalesce(a.top_count, 0) as top_count,
+         coalesce(a.n_en, 0) as n_en,
+         g2.n_grams, g2.n_gram_distinct
+  from g2 left join agg a on g2.doc_id = a.doc_id
+),
+r as (
+  select case
+    when n_tokens < {t["min_tokens"]} then 'too_short'
+    {lang_when}
+    when cast(n_tokens - n_distinct as double) / greatest(n_tokens, 1)
+         > {t["max_dup_word_ratio"]!r} then 'dup_words'
+    when cast(top_count as double) / greatest(n_tokens, 1)
+         > {t["max_top_word_ratio"]!r} then 'top_word'
+    when cast(n_grams - n_gram_distinct as double) / greatest(n_grams, 1)
+         > {t["max_dup_gram_ratio"]!r} then 'dup_grams'
+    when least(n_tokens / 50.0, 1.0)
+         * (cast(n_distinct as double) / greatest(n_tokens, 1))
+         < {t["min_quality"]!r} then 'low_quality'
+    else 'kept' end as reason
+  from sig
+  union all
+  select 'empty' as reason from documents
+  where text is null or text = ''
+)
+select reason, count(*) as n_docs from r group by reason
 """
 
 
@@ -1061,6 +1157,8 @@ from documents where text is not null and text <> ''
 """,
         "q_hash_split": _hash_split_oracle(),
         "q_decontam": _decontam_oracle(),
+        "q_decontam_13": _decontam_oracle(13),
+        "q_filter_summary": _filter_summary_oracle(),
         "q_repetition": f"""
 with {_WRD},
 wc as (

@@ -358,8 +358,11 @@ def connected_components(
         multiset equality, and an (n, Σhash) match across rounds certifies
         the fixpoint without the two exceptAll jobs the previous check ran
         (4 → 3 driver jobs per round)."""
+        # hashes sum as decimal(30,0): a long sum overflows (ANSI mode
+        # raises ARITHMETIC_OVERFLOW on the second ~2^63-scale term)
         r = e.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("a", "b")).alias("h")
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(20,0)")).alias("h"),
         ).collect()[0]
         return int(r["n"]), int(r["h"] or 0)
 

@@ -216,20 +216,10 @@ def decontaminate(
     )
 
 
-def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
-    """Gopher-style repetition signals per doc: duplicate-word fraction,
-    top-word share, duplicate word-``n``-gram fraction. High values mark
-    boilerplate / spam / degenerate text a training pipeline filters out.
-
-    The n-gram side is computed in-row (split → slide → array_distinct),
-    zero shuffle; the word side needs per-(doc, word) counts for the mode,
-    one doc_id-keyed aggregation — evenly distributed, no skew risk."""
-    wc = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    agg = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_count"),
-    )
+def _gram_counts(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_grams, n_gram_distinct) over eligible docs — the in-row
+    (zero-shuffle) word n-gram duplication counters shared by
+    :func:`repetition_stats` and :func:`corpus_filter_reasons`."""
     toks = documents.filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     ).select(
@@ -245,11 +235,28 @@ def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = toks.select(
+    return toks.select(
         "doc_id",
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_gram_distinct"),
     )
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-word fraction,
+    top-word share, duplicate word-``n``-gram fraction. High values mark
+    boilerplate / spam / degenerate text a training pipeline filters out.
+
+    The n-gram side is computed in-row (split → slide → array_distinct),
+    zero shuffle; the word side needs per-(doc, word) counts for the mode,
+    one doc_id-keyed aggregation — evenly distributed, no skew risk."""
+    wc = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    g = _gram_counts(documents, n)
     # ratios of exact ints, numerators cast to double — bit-identical
     # across engines (same convention as quality_score)
     return agg.join(g, "doc_id").select(
@@ -296,6 +303,116 @@ def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .filter(F.col("ngram") != "")
         .distinct()
+    )
+
+
+#: composite corpus-filter thresholds (tuned so each reason fires on the
+#: synthetic fixtures; a real pipeline overrides per corpus). Precedence of
+#: the drop reasons is FILTER_REASONS order — first failing check wins, so
+#: per-reason counts are a partition of the corpus (disjoint, sums to total).
+FILTER_DEFAULTS = {
+    "min_tokens": 20,  # Gopher drops <50-word docs; fixtures are shorter
+    "require_lang": "en",  # None disables the language gate
+    "max_dup_word_ratio": 0.68,
+    "max_top_word_ratio": 0.20,
+    "max_dup_gram_ratio": 0.30,
+    "min_quality": 0.20,
+}
+
+#: reason labels in precedence order ('kept' last)
+FILTER_REASONS = (
+    "empty",
+    "too_short",
+    "non_english",
+    "dup_words",
+    "top_word",
+    "dup_grams",
+    "low_quality",
+    "kept",
+)
+
+
+def corpus_filter_reasons(
+    documents: DataFrame, thresholds: dict | None = None, ngram_n: int = 2
+) -> DataFrame:
+    """(doc_id, reason): the composite quality filter a training pipeline
+    actually calls — language-ID + quality score + Gopher repetition
+    signals combined in ONE pass (one (doc, word) aggregation + the in-row
+    gram counters; lang/quality/repetition all derive from the same
+    aggregate, so the corpus is read once, not three times).
+
+    Every doc gets exactly one reason: the FIRST failing threshold in
+    FILTER_REASONS precedence, or 'kept'. Scale shape: one hash shuffle on
+    (doc_id, word), one on doc_id; all expressions are built-ins inside
+    whole-stage codegen — no UDF, no window, no skew risk (doc_id keys)."""
+    t = dict(FILTER_DEFAULTS, **(thresholds or {}))
+    wc = words(documents).groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.sum(F.when(F.col("word").isin(*EN_MARKERS), F.col("c")).otherwise(0)).alias(
+            "n_en"
+        ),
+    )
+    # all-punctuation docs are eligible but produce zero word rows → left
+    # join + zero-fill (they fall out as 'too_short')
+    sig = (
+        _gram_counts(documents, ngram_n)
+        .join(agg, "doc_id", "left")
+        .fillna(0, subset=["n_tokens", "n_distinct", "top_count", "n_en"])
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    ng = F.greatest(F.col("n_grams"), F.lit(1))
+    en_ratio = F.col("n_en").cast("double") / nt
+    dup_word = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / nt
+    top_word = F.col("top_count").cast("double") / nt
+    dup_gram = (F.col("n_grams") - F.col("n_gram_distinct")).cast("double") / ng
+    quality = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * (
+        F.col("n_distinct").cast("double") / nt
+    )
+    reason = F.when(F.col("n_tokens") < t["min_tokens"], F.lit("too_short"))
+    if t["require_lang"] is not None:
+        # marker-set heuristic == lang_id's rule (en iff ratio ≥ threshold)
+        reason = reason.when(en_ratio < LANG_EN_THRESHOLD, F.lit("non_english"))
+    reason = (
+        reason.when(dup_word > t["max_dup_word_ratio"], F.lit("dup_words"))
+        .when(top_word > t["max_top_word_ratio"], F.lit("top_word"))
+        .when(dup_gram > t["max_dup_gram_ratio"], F.lit("dup_grams"))
+        .when(quality < t["min_quality"], F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    graded = sig.select("doc_id", reason.alias("reason"))
+    empty = documents.filter(
+        F.col("text").isNull() | (F.length("text") == 0)
+    ).select("doc_id", F.lit("empty").alias("reason"))
+    return graded.unionByName(empty)
+
+
+def filter_corpus(
+    documents: DataFrame, thresholds: dict | None = None, ngram_n: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """(kept corpus, per-reason drop counts). The kept side is a semi-join
+    of the input against the 'kept' doc_ids — full rows survive, so the
+    filtered corpus feeds the next pipeline stage unchanged."""
+    reasons = corpus_filter_reasons(documents, thresholds, ngram_n)
+    kept = documents.join(
+        reasons.filter(F.col("reason") == "kept").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    summary = reasons.groupBy("reason").agg(F.count("*").alias("n_docs"))
+    return kept, summary
+
+
+def filter_summary(
+    documents: DataFrame, thresholds: dict | None = None, ngram_n: int = 2
+) -> DataFrame:
+    """(reason, n_docs) — the drop-count report alone (one job)."""
+    return (
+        corpus_filter_reasons(documents, thresholds, ngram_n)
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

@@ -532,3 +532,91 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert list(out.index) == [trains[0]]
     # the planted text has 6 words → 4 trigrams, all shared
     assert int(out.loc[trains[0], "n_shared_grams"]) == 4
+
+
+SPAN13 = ("one two three four five six seven eight nine ten "
+          "eleven twelve thirteen")
+
+
+def test_decontaminate_n13_normalization_parity(spark):
+    """The production n=13 contract: a shared 13-word span collides across
+    splits regardless of case / punctuation / whitespace around and between
+    the words (grams are built from the lowercased letters-only stream);
+    a 12-word overlap does not. doc_ids 0-3 hash-split to train, 5 to val
+    (pinned: H32(f'{id}:split-v1') % 10000 < 9000 ⇒ train)."""
+    filler = " ".join(f"filler{c}{d}" for c in "abcd" for d in "efgh")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 5],
+            "text": [
+                # train: span wrapped in punctuation, mixed case, odd spacing
+                "Intro!  one, two; three four... five-six SEVEN eight "
+                "nine — ten\televen (twelve) thirteen?? trailer",
+                # train: the same 13 words but interrupted at position 12
+                "one two three four five six seven eight nine ten eleven "
+                "twelve interruption thirteen " + filler,
+                # train: no overlap at all
+                filler,
+                # val: the span with its own punctuation/whitespace noise
+                "one\ttwo  three,four five\nsix seven EIGHT nine (ten) "
+                "eleven [twelve] thirteen",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = textstats.decontaminate(docs, n=13).toPandas().set_index("doc_id")
+    assert list(out.index) == [0]
+    assert int(out.loc[0, "n_shared_grams"]) == 1
+    assert out.loc[0, "sample_gram"] == SPAN13
+
+
+def test_filter_corpus_reasons_and_partition(spark):
+    """Composite filter: each doc gets exactly one reason (first failing
+    threshold in precedence order); the summary partitions the corpus; the
+    kept side preserves full input rows."""
+    mk = textstats.EN_MARKERS  # 10 words, all 'English' by the marker rule
+    dup_gram_text = " ".join(mk) + " " + " ".join(mk)  # every word 2x, but
+    # 19 bigrams / 10 distinct → dup_gram 9/19 ≈ 0.47 > 0.30
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": [
+                "",                                       # empty
+                None,                                     # empty
+                "just five little words here",            # too_short
+                " ".join(f"mot{c}{d}" for c in "abcde" for d in "fghi"),
+                                                          # 20 tokens, 0 markers
+                "the " * 29 + "the",                      # 30x same marker
+                " ".join(["the"] * 10 + [f"w{c}{d}" for c in "ab"
+                                         for d in "cdefghijkl"]),
+                                                          # top 10/30 > 0.2
+                dup_gram_text,                            # dup_grams
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    reasons = (
+        textstats.corpus_filter_reasons(docs)
+        .toPandas()
+        .set_index("doc_id")["reason"]
+    )
+    assert len(reasons) == len(pdf)  # exactly one reason per doc
+    assert reasons[0] == "empty" and reasons[1] == "empty"
+    assert reasons[2] == "too_short"
+    assert reasons[3] == "non_english"
+    assert reasons[4] == "dup_words"   # precedence: dup_words before top_word
+    assert reasons[5] == "top_word"    # dup 9/30=0.3 ok, top 10/30 trips
+    assert reasons[6] == "dup_grams"
+
+    kept, summary = textstats.filter_corpus(docs)
+    sm = summary.toPandas().set_index("reason")["n_docs"]
+    assert int(sm.sum()) == len(pdf)   # reasons partition the corpus
+    assert "kept" not in sm.index and kept.count() == 0
+    # a permissive threshold set keeps the clean doc; low_quality branch
+    # fires when min_quality is raised above its score
+    loose = {"require_lang": None, "min_tokens": 2}
+    kept2, _ = textstats.filter_corpus(docs, loose)
+    assert kept2.count() > 0 and kept2.columns == docs.columns
+    strict = dict(loose, min_quality=1.1)
+    r3 = textstats.corpus_filter_reasons(docs, strict).toPandas()
+    assert set(r3[r3["doc_id"] == 3]["reason"]) == {"low_quality"}
