@@ -108,6 +108,17 @@ class EngineConfig:
     # between batches, never inside one.
     compact_every_epochs: int = 8
 
+    # Two-pass cross-shard WAND threshold sharing (bm25): pass 1 runs the
+    # kernel on the single highest-upper-bound shard; its k-th score θ is
+    # broadcast into every other shard's kernel (theta_init), which then
+    # prunes from the first term, and — when an exact count isn't requested
+    # — shards whose metadata upper bound falls below θ are never scanned
+    # at all. Engages only when ≥ wand_min_shards shards hold query-term
+    # blocks (below that, one job beats two). Ranking stays exact: θ only
+    # elides work for docs provably outside the global top-k.
+    wand_two_pass: bool = True
+    wand_min_shards: int = 4
+
     def shard_size(self, n_docs: int) -> int:
         """Resolve docs_per_shard: aim ≈4 shards/core, with a floor of 4096
         docs/shard so shard count (== query-kernel task count) never explodes

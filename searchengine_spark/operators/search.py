@@ -149,6 +149,12 @@ def _decode_block_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ids), np.concatenate(tfs)
 
 
+#: slack subtracted from a shared θ before it prunes: scores are ranked by
+#: round(score, 9), so a doc strictly below θ by > 1e-9 provably rounds
+#: below it (|round(x)−x| ≤ 0.5e-9 each side) and can never tie-win
+THETA_GUARD = 1e-9
+
+
 def make_shard_kernel(
     terms: list[str],
     mode: str,
@@ -159,13 +165,23 @@ def make_shard_kernel(
     avgdl: float,
     allowed_site_ids: list[int] | None,
     exact_count: bool = False,
+    theta_init: float = -np.inf,
 ):
     """Build the per-shard applyInPandas kernel.
 
     Input group: all block rows of the query terms (+ DOCLEN_TERM for bm25,
     + SITE_TERM when site-filtered) in one doc-range shard. Output: per-shard
     top-k (doc_id, exact score) plus the shard's candidate count (same value
-    on every emitted row).
+    on every emitted row; a count-only shard emits one doc_id=-1 sentinel
+    row the driver drops after summing counts).
+
+    ``theta_init`` is a cross-shard score threshold (two-pass WAND): a
+    lower bound on the GLOBAL top-k'th score, measured on the densest shard
+    and broadcast into the rest. Docs provably below it are skipped without
+    scoring — the surviving ranking is still exact because only
+    can't-reach-top-k work is elided (same soundness argument as the
+    per-shard θ, applied from the first term instead of after k local
+    candidates accumulate).
     """
 
     def topk_rows(
@@ -175,9 +191,23 @@ def make_shard_kernel(
         cand_override: int | None = None,
     ) -> pd.DataFrame:
         cand = len(ids) if cand_override is None else cand_override
-        if len(ids) == 0 and not cand:
-            return pd.DataFrame(columns=["shard", "doc_id", "score", "cand"]).astype(
-                {"shard": np.int64, "doc_id": np.int64, "score": np.float64, "cand": np.int64}
+        if len(ids) == 0:
+            if not cand:
+                return pd.DataFrame(
+                    columns=["shard", "doc_id", "score", "cand"]
+                ).astype(
+                    {"shard": np.int64, "doc_id": np.int64, "score": np.float64, "cand": np.int64}
+                )
+            # every candidate pruned by θ, but the exact count survives:
+            # sentinel row carries it (driver filters doc_id < 0 after
+            # summing per-shard counts)
+            return pd.DataFrame(
+                {
+                    "shard": [np.int64(shard)],
+                    "doc_id": [np.int64(-1)],
+                    "score": [-np.inf],
+                    "cand": [np.int64(cand)],
+                }
             )
         # rank by rounded score desc, then doc_id asc (== conv/turn order)
         key = np.round(scores, SCORE_DECIMALS)
@@ -284,6 +314,51 @@ def make_shard_kernel(
             mtf = float(by_term[t]["block_max_tf"].max())
             return idf[t] * mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b))
 
+        if len(present) == 1 and not (exact_count and site_filter is not None):
+            # ---- single-term fast path: block-max early stop ----
+            # One term ⇒ a doc's total score is exactly its contribution
+            # here, so per-BLOCK upper bounds prune soundly: decode blocks
+            # in descending block-UB order and stop as soon as the next
+            # block's UB falls below θ (local kth, seeded by theta_init).
+            # The exact candidate count is the metadata `count` sum — a doc
+            # appears in exactly one block per (term, shard) — so a hot
+            # term's count costs ZERO decodes (site-scoped exact counts
+            # still take the generic path: metadata counts aren't
+            # site-filtered).
+            t = present[0]
+            g = by_term[t]
+            n_cand = int(g["count"].sum()) if exact_count else None
+            bmt = g["block_max_tf"].to_numpy(np.float64)
+            bub = idf[t] * bmt * (k1 + 1.0) / (bmt + k1 * (1.0 - b))
+            border = np.argsort(-bub, kind="stable")
+            gaps_a = g["doc_gaps"].to_numpy(object)
+            tfs_a = g["tfs"].to_numpy(object)
+            theta = theta_init
+            ids_l: list[np.ndarray] = []
+            sc_l: list[np.ndarray] = []
+            n_got = 0
+            for j in border:
+                if bub[j] < theta - THETA_GUARD:
+                    break  # UB-sorted: no later block can reach θ either
+                b_ids = np.cumsum(varint_decode(bytes(gaps_a[j])).astype(np.int64))
+                b_tfs = varint_decode(bytes(tfs_a[j])).astype(np.int64)
+                if site_filter is not None:
+                    b_ids, b_tfs = site_filter(b_ids, b_tfs)
+                    if b_ids.size == 0:
+                        continue
+                ids_l.append(b_ids)
+                sc_l.append(bm25_scores(t, b_ids, b_tfs))
+                n_got += b_ids.size
+                if n_got >= k:
+                    allsc = np.concatenate(sc_l)
+                    theta = max(
+                        theta,
+                        float(np.partition(allsc, n_got - k)[n_got - k]),
+                    )
+            ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+            scores = np.concatenate(sc_l) if sc_l else np.empty(0)
+            return topk_rows(shard, ids, scores, cand_override=n_cand)
+
         if exact_count:
             # decode doc-id lists once upfront: gives the exact disjunctive
             # candidate count (SearchResponse.count analog); WAND pruning
@@ -306,11 +381,19 @@ def make_shard_kernel(
         for i, t in enumerate(order):
             remaining_ub = sum(ubs[o] for o in order[i:])
             theta = (
-                float(np.partition(acc.to_numpy(), len(acc) - k)[len(acc) - k])
+                max(
+                    theta_init,
+                    float(np.partition(acc.to_numpy(), len(acc) - k)[len(acc) - k]),
+                )
                 if len(acc) >= k
-                else -np.inf
+                else theta_init
             )
-            prune = remaining_ub < theta and len(acc) > 0
+            # with a cross-shard theta_init, pruning is sound even before k
+            # local candidates exist (an unseen doc's partial is 0, so its
+            # total is ≤ remaining_ub)
+            prune = remaining_ub < theta - THETA_GUARD and (
+                len(acc) > 0 or theta_init > -np.inf
+            )
             if decoded is not None:
                 t_ids, t_tfs = decoded[t]
                 if prune:
@@ -418,6 +501,10 @@ class BlockSearcher:
         # job per repeated term (invalidated by reloading the searcher,
         # which incremental updates do).
         self._term_stats_cache: dict[str, list] = {}
+        # per-term {shard: max block_max_tf} memo for two-pass WAND: sized
+        # O(shards) per distinct query term, shared across queries (the
+        # hot-term case the threshold sharing targets)
+        self._shard_mtf_cache: dict[str, dict[int, float]] = {}
 
     # -- query planning (driver side, analog of SearchServiceImpl.java:48-105)
     def _plan(self, query: str, site: str | None, mode: str):
@@ -476,6 +563,79 @@ class BlockSearcher:
         scan_ranges = sorted(self.site_ranges[s] for s in gated)
         return tl, idf, gated, allowed_site_ids, scan_ranges
 
+    def _shard_ubs(
+        self,
+        tl: list[str],
+        idf: dict[str, float],
+        shard_bounds: tuple[int, int] | None,
+    ) -> dict[int, float]:
+        """{shard: Σ per-term upper bound} from block metadata only (max
+        block_max_tf per (term, shard) — small columns, term-pruned scan,
+        no posting decode). Memoized per term, so repeated/hot queries pay
+        zero metadata jobs. The UB uses the same dl→0 bound as the kernel's
+        term_ub, with the CURRENT idf — sound across incremental updates."""
+        missing = [t for t in tl if t not in self._shard_mtf_cache]
+        if missing:
+            fetched = (
+                self.blocks.filter(F.col("term").isin(missing))
+                .groupBy("term", "shard")
+                .agg(F.max("block_max_tf").alias("mtf"))
+                .collect()
+            )
+            for t in missing:
+                self._shard_mtf_cache[t] = {}
+            for r in fetched:
+                self._shard_mtf_cache[r["term"]][int(r["shard"])] = float(r["mtf"])
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        ubs: dict[int, float] = {}
+        for t in tl:
+            w = idf.get(t)
+            if not w:
+                continue
+            for s, mtf in self._shard_mtf_cache[t].items():
+                if shard_bounds is not None and not (
+                    shard_bounds[0] <= s <= shard_bounds[1]
+                ):
+                    continue
+                ubs[s] = ubs.get(s, 0.0) + w * mtf * (k1 + 1.0) / (
+                    mtf + k1 * (1.0 - b)
+                )
+        return ubs
+
+    def _search_two_pass(
+        self, blocks: DataFrame, shard_ub: dict[int, float], mk_kernel, k: int,
+        exact_count: bool,
+    ) -> pd.DataFrame:
+        """Two-pass cross-shard WAND: run the highest-UB shard first, take
+        its k-th score as a global-θ lower bound, then (a) skip whole shards
+        whose UB can't reach θ (when no exact count is owed — their docs
+        provably miss the top-k) and (b) seed the remaining kernels with θ
+        so they prune from the first term instead of warming a local θ."""
+        seed = max(shard_ub, key=lambda s: (shard_ub[s], -s))
+        rows1 = (
+            blocks.filter(F.col("shard") == seed)
+            .groupBy("shard")
+            .applyInPandas(mk_kernel(), KERNEL_SCHEMA)
+            .toPandas()
+        )
+        real = rows1[rows1["doc_id"] >= 0]
+        theta = -np.inf
+        if len(real) >= k:
+            sc = real["score"].to_numpy(np.float64)
+            theta = float(np.partition(sc, len(sc) - k)[len(sc) - k]) - THETA_GUARD
+        others = [s for s in shard_ub if s != seed]
+        if not exact_count and theta > -np.inf:
+            others = [s for s in others if shard_ub[s] >= theta]
+        if not others:
+            return rows1
+        rows2 = (
+            blocks.filter(F.col("shard").isin(others))
+            .groupBy("shard")
+            .applyInPandas(mk_kernel(theta), KERNEL_SCHEMA)
+            .toPandas()
+        )
+        return pd.concat([rows1, rows2], ignore_index=True)
+
     def search(
         self,
         query: str,
@@ -511,18 +671,40 @@ class BlockSearcher:
         if allowed_site_ids is not None:
             scan_terms.append(SITE_TERM)
         blocks = self.blocks.filter(F.col("term").isin(scan_terms))
+        shard_bounds = None
         if len(gated) < len(self.site_ranges):
             lo = min(r[0] for r in scan_ranges) // self.shard_size
             hi = max(r[1] for r in scan_ranges) // self.shard_size
+            shard_bounds = (lo, hi)
             blocks = blocks.filter(F.col("shard").between(lo, hi))
-        kernel = make_shard_kernel(
-            tl, mode, k, idf, cfg.bm25.k1, cfg.bm25.b, self.avgdl, allowed_site_ids,
-            exact_count=exact_count,
+
+        def mk_kernel(theta_init: float = -np.inf):
+            return make_shard_kernel(
+                tl, mode, k, idf, cfg.bm25.k1, cfg.bm25.b, self.avgdl,
+                allowed_site_ids, exact_count=exact_count,
+                theta_init=theta_init,
+            )
+
+        shard_ub = None
+        if mode == "bm25" and cfg.wand_two_pass:
+            shard_ub = self._shard_ubs(tl, idf, shard_bounds)
+        if shard_ub is not None and len(shard_ub) >= cfg.wand_min_shards:
+            rows = self._search_two_pass(
+                blocks, shard_ub, mk_kernel, k, exact_count
+            )
+        else:
+            rows = (
+                blocks.groupBy("shard")
+                .applyInPandas(mk_kernel(), KERNEL_SCHEMA)
+                .toPandas()
+            )
+        count = (
+            int(rows.drop_duplicates("shard")["cand"].sum()) if len(rows) else 0
         )
-        rows = blocks.groupBy("shard").applyInPandas(kernel, KERNEL_SCHEMA).toPandas()
+        rows = rows[rows["doc_id"] >= 0]  # drop count-only sentinel rows
         if rows.empty:
-            return empty, 0
-        count = int(rows.drop_duplicates("shard")["cand"].sum())
+            return empty, count
+        rows = rows.copy()
         rows["_key"] = rows["score"].round(SCORE_DECIMALS)
         rows = rows.sort_values(["_key", "doc_id"], ascending=[False, True], kind="mergesort")
         page = rows.iloc[offset : offset + limit].copy()

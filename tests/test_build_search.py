@@ -189,3 +189,35 @@ def test_search_response_shape(engine):
     assert "<b>" in item["snippet"]  # highlight present (P2)
     resp2 = engine.search_response("the of")
     assert resp2["result"] is False
+
+
+def test_two_pass_wand_on_off_equivalence(engine):
+    """Cross-shard θ sharing must be invisible in results: identical page
+    (docs AND scores) with the optimization on vs off, identical exact
+    counts; the non-exact count stays a valid lower bound. The engine
+    fixture's docs_per_shard=256 spans ≥4 shards, so the path engages."""
+    import pandas as pd
+
+    import dataclasses
+
+    sr = engine.searcher
+    tl, idf, *_ = sr._plan("hotalpha hotbeta", None, "bm25")
+    assert len(sr._shard_ubs(tl, idf, None)) >= sr.cfg.wand_min_shards
+    cfg_on, cfg_off = sr.cfg, dataclasses.replace(sr.cfg, wand_two_pass=False)
+    try:
+        for q in ["hotalpha", "hotbeta hotgamma", "hotdelta поиск",
+                  "walking walked walks"]:
+            for exact in (True, False):
+                sr.cfg = cfg_on
+                p_on, c_on = engine.search(q, mode="bm25", exact_count=exact)
+                sr.cfg = cfg_off
+                p_off, c_off = engine.search(q, mode="bm25", exact_count=exact)
+                pd.testing.assert_frame_equal(p_on, p_off)
+                if exact:
+                    assert c_on == c_off
+                else:
+                    # two-pass may skip provably-irrelevant shards, so its
+                    # lower-bound count can only shrink — never exceed
+                    assert len(p_on) <= c_on <= c_off
+    finally:
+        sr.cfg = cfg_on
