@@ -122,6 +122,15 @@ def main() -> None:
 
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = (tp32 / tp8) / (hi / lo)
+    # Per-child host-speed sentinels (single-core pinned job): the hi/lo time
+    # ratio is the relative host throttle between the two runs. If the 4N
+    # child ran on a box f× slower than the N child's, its quiet-box
+    # throughput would be ~f× higher, so eff_drift_adj = eff_raw · f. Old
+    # result JSONs (pre-r4) lack the field → adj falls back to raw.
+    sent_lo = r8.get("sentinel_s")
+    sent_hi = r32.get("sentinel_s")
+    pair_drift = round(sent_hi / sent_lo, 3) if sent_lo and sent_hi else None
+    eff_adj = round(eff * pair_drift, 3) if pair_drift else None
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lat = r32.get("query_latency", {})
@@ -140,6 +149,10 @@ levels — the sandbox substitution for N vs 4N executors (BASELINE.md).
 | {r32['cores']} (4N) | {r32['build_seconds']} | {tp32} | {r32['postings_per_sec']} | {r32['partition_skew']} |
 
 **Scaling efficiency (N→4N) = (tp_4N/tp_N)/4 = {eff:.3f}** (target ≥ 0.8)
+
+Per-child host sentinel (pinned 1-core job): N {r8.get('sentinel_s', 'n/a')} s,
+4N {r32.get('sentinel_s', 'n/a')} s → pair drift {pair_drift} (4N-child host
+slower by this factor); **drift-adjusted efficiency = {eff_adj}**.
 
 Stage breakdown (seconds): N cores {json.dumps(r8['stage_seconds'])}; 4N
 cores {json.dumps(r32['stage_seconds'])}.
@@ -164,6 +177,8 @@ Raw child outputs:
         f.write(md)
     print(json.dumps({
         "efficiency": round(eff, 3),
+        "pair_drift": pair_drift,
+        "efficiency_drift_adjusted": eff_adj,
         "turns_per_sec_8": tp8,
         "turns_per_sec_32": tp32,
         "report": out_md,

@@ -14,6 +14,24 @@ import sys
 import time
 
 
+def _sentinel(spark) -> float:
+    """Pinned host-speed probe (median of 3): a fixed single-partition
+    range-sum. One partition → one core regardless of local[N], so the number
+    is comparable ACROSS the pair's children; the ratio hi/lo is the relative
+    host throttle between the two runs (round-3's order-flip study showed the
+    second child of a pair runs on a credit-throttled box — this makes that
+    bias measurable instead of inferred)."""
+    samples = []
+    for i in range(4):  # first run warms codegen; drop it
+        t0 = time.time()
+        spark.range(16_000_000, numPartitions=1).selectExpr(
+            "sum(id * 2 + 1) as s"
+        ).collect()
+        if i:
+            samples.append(time.time() - t0)
+    return statistics.median(samples)
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     fixture_parquet = sys.argv[2]
@@ -40,12 +58,17 @@ def main() -> None:
     )
     eng = SearchEngine(spark, warehouse, cfg)
 
+    sent_pre = _sentinel(spark)
     t0 = time.time()
     res = eng.build(transcripts, resume=False)
     build_s = time.time() - t0
+    sent_post = _sentinel(spark)
 
     out = {
         "cores": cores,
+        "sentinel_s": round(statistics.median([sent_pre, sent_post]), 4),
+        "sentinel_pre_s": round(sent_pre, 4),
+        "sentinel_post_s": round(sent_post, 4),
         "n_docs": res.n_docs,
         "build_seconds": round(build_s, 2),
         "turns_per_sec": round(res.n_docs / build_s, 2),

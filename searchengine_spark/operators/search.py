@@ -331,30 +331,42 @@ def make_shard_kernel(
             bmt = g["block_max_tf"].to_numpy(np.float64)
             bub = idf[t] * bmt * (k1 + 1.0) / (bmt + k1 * (1.0 - b))
             border = np.argsort(-bub, kind="stable")
-            gaps_a = g["doc_gaps"].to_numpy(object)
-            tfs_a = g["tfs"].to_numpy(object)
             theta = theta_init
             ids_l: list[np.ndarray] = []
             sc_l: list[np.ndarray] = []
-            n_got = 0
-            for j in border:
-                if bub[j] < theta - THETA_GUARD:
-                    break  # UB-sorted: no later block can reach θ either
-                b_ids = np.cumsum(varint_decode(bytes(gaps_a[j])).astype(np.int64))
-                b_tfs = varint_decode(bytes(tfs_a[j])).astype(np.int64)
+            # θ lives on a BOUNDED top-k score buffer, and blocks decode in
+            # UB-ordered CHUNKS: per-chunk vectorized decode + one bounded
+            # partition keeps a no-early-stop worst case (hot term, uniform
+            # block UBs) at full-decode cost — the r4 per-block loop was
+            # O(blocks² · blocksize) from re-partitioning an ever-growing
+            # score array and measured 16 s on a df≈3.5M term (RUN_1v4)
+            topk_sc = np.empty(0, np.float64)
+            CHUNK = 256  # blocks (~32k postings): decode amortized, stop
+            # granularity stays fine (hot shards hold thousands of blocks)
+            for c0 in range(0, len(border), CHUNK):
+                chunk = border[c0 : c0 + CHUNK]
+                # bub is descending along border: drop the chunk tail below
+                # θ; if nothing survives, no later chunk can reach θ either
+                chunk = chunk[bub[chunk] >= theta - THETA_GUARD]
+                if chunk.size == 0:
+                    break
+                b_ids, b_tfs = _decode_block_rows(g.iloc[chunk])
                 if site_filter is not None:
                     b_ids, b_tfs = site_filter(b_ids, b_tfs)
                     if b_ids.size == 0:
                         continue
+                b_sc = bm25_scores(t, b_ids, b_tfs)
                 ids_l.append(b_ids)
-                sc_l.append(bm25_scores(t, b_ids, b_tfs))
-                n_got += b_ids.size
-                if n_got >= k:
-                    allsc = np.concatenate(sc_l)
-                    theta = max(
-                        theta,
-                        float(np.partition(allsc, n_got - k)[n_got - k]),
-                    )
+                sc_l.append(b_sc)
+                cand_sc = np.concatenate([topk_sc, b_sc])
+                if cand_sc.size >= k:
+                    cut = np.partition(cand_sc, cand_sc.size - k)[
+                        cand_sc.size - k :
+                    ]
+                    topk_sc = cut
+                    theta = max(theta, float(cut[0] if k else -np.inf))
+                else:
+                    topk_sc = cand_sc
             ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
             scores = np.concatenate(sc_l) if sc_l else np.empty(0)
             return topk_rows(shard, ids, scores, cand_override=n_cand)
@@ -602,6 +614,29 @@ class BlockSearcher:
                 )
         return ubs
 
+    def _two_pass_pays(self, shard_ub: dict[int, float]) -> bool:
+        """Driver-side engagement heuristic for two-pass WAND (metadata
+        only, zero jobs). Pass 1 serializes one shard ahead of the rest, so
+        it must buy back ≥ one task-wave of skipped shards: require both
+        enough shards per parallel slot AND visible UB skew (a shard is
+        skippable only when its UB falls below θ, and θ sits well under the
+        max shard UB — near-uniform UBs can never prune). Measured r4: on a
+        uniform fixture (16 shards, 4 cores, zero-skew UBs) unconditional
+        two-pass cost +35% hot-term latency; see config.wand_* docs."""
+        cfg = self.cfg
+        n = len(shard_ub)
+        par = max(1, self.blocks.sparkSession.sparkContext.defaultParallelism)
+        min_shards = max(
+            cfg.wand_min_shards, int(np.ceil(cfg.wand_shards_per_core * par))
+        )
+        if n < min_shards:
+            return False
+        ub_max = max(shard_ub.values())
+        prunable = sum(
+            1 for u in shard_ub.values() if u < cfg.wand_skew_gate * ub_max
+        )
+        return prunable >= np.ceil(cfg.wand_skew_min_frac * n)
+
     def _search_two_pass(
         self, blocks: DataFrame, shard_ub: dict[int, float], mk_kernel, k: int,
         exact_count: bool,
@@ -688,7 +723,7 @@ class BlockSearcher:
         shard_ub = None
         if mode == "bm25" and cfg.wand_two_pass:
             shard_ub = self._shard_ubs(tl, idf, shard_bounds)
-        if shard_ub is not None and len(shard_ub) >= cfg.wand_min_shards:
+        if shard_ub and self._two_pass_pays(shard_ub):
             rows = self._search_two_pass(
                 blocks, shard_ub, mk_kernel, k, exact_count
             )

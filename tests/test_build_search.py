@@ -202,8 +202,17 @@ def test_two_pass_wand_on_off_equivalence(engine):
 
     sr = engine.searcher
     tl, idf, *_ = sr._plan("hotalpha hotbeta", None, "bm25")
-    assert len(sr._shard_ubs(tl, idf, None)) >= sr.cfg.wand_min_shards
-    cfg_on, cfg_off = sr.cfg, dataclasses.replace(sr.cfg, wand_two_pass=False)
+    ubs = sr._shard_ubs(tl, idf, None)
+    assert len(ubs) >= sr.cfg.wand_min_shards
+    # force past the engagement heuristics (shards-per-core + UB skew): the
+    # tiny uniform fixture would otherwise — correctly — pick one-pass
+    cfg_base = sr.cfg
+    cfg_on = dataclasses.replace(
+        sr.cfg, wand_shards_per_core=0.0, wand_skew_min_frac=0.0
+    )
+    cfg_off = dataclasses.replace(cfg_on, wand_two_pass=False)
+    sr.cfg = cfg_on
+    assert sr._two_pass_pays(ubs)
     try:
         for q in ["hotalpha", "hotbeta hotgamma", "hotdelta поиск",
                   "walking walked walks"]:
@@ -220,4 +229,4 @@ def test_two_pass_wand_on_off_equivalence(engine):
                     # lower-bound count can only shrink — never exceed
                     assert len(p_on) <= c_on <= c_off
     finally:
-        sr.cfg = cfg_on
+        sr.cfg = cfg_base
