@@ -247,6 +247,14 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_best(spark, sf_dir):
+    """Keep-best near-dup dedup: one representative per transitive dup
+    group (SimHash pairs → connected components; singletons included),
+    highest quality score wins — the drop-the-copies step of
+    training-data prep."""
+    return dedup.dedup_keep_best(_documents(spark, sf_dir))
+
+
 def q_minhash_sig(spark, sf_dir):
     return dedup.minhash_signatures(_documents(spark, sf_dir))
 
@@ -410,6 +418,12 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling over the lang-ID strata —
+    growth-stable hash gate, not Bernoulli draws."""
+    return textstats.stratified_sample(_documents(spark, sf_dir))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filter signals: duplicate-word fraction,
     top-word share, duplicate-bigram fraction."""
@@ -485,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_count": q_search_count,
         "q_and_gate_sites": q_and_gate_sites,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_best": q_dedup_best,
         "q_minhash_sig": q_minhash_sig,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash": q_simhash,
@@ -504,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_binary": q_multimodal_binary,
         "q_bpe_tokens": q_bpe_tokens,
         "q_hash_split": q_hash_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
         "q_decontam_13": q_decontam_13,
@@ -711,6 +727,37 @@ with b as (select doc_id, {_split_bucket_sql()} as b from documents)
 select doc_id, cast(b as bigint) as split_bucket,
        {_split_case_sql('b')} as split
 from b
+"""
+
+
+def _stratified_sample_oracle() -> str:
+    """Stratified-sample SQL generated from the SAME constants the Spark
+    side uses (SAMPLE_DEFAULT_RATES, salt 'sample-v1', SPLIT_BUCKETS,
+    lang-ID markers/threshold) — no drift possible."""
+    key = "cast(doc_id as varchar) || ':sample-v1'"
+    b = f"({h32_sql(key)} % {textstats.SPLIT_BUCKETS})"
+    whens = " ".join(
+        f"when s.stratum = '{name}' then {int(round(r * textstats.SPLIT_BUCKETS))}"
+        for name, r in textstats.SAMPLE_DEFAULT_RATES
+    )
+    en = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
+    return f"""
+with {_WRD},
+agg as (
+  select doc_id, count(*) as n,
+         sum(case when word in ({en}) then 1 else 0 end) as n_en
+  from wrd group by doc_id
+),
+st as (
+  select doc_id,
+         case when cast(n_en as double) / n >= {textstats.LANG_EN_THRESHOLD}
+              then 'en' else 'und' end as stratum
+  from agg
+)
+select s.doc_id, s.stratum, cast({b} as bigint) as sample_bucket,
+       cast(case when {b} < (case {whens} else 0 end) then 1 else 0 end
+            as bigint) as sampled
+from st s
 """
 
 
@@ -1156,6 +1203,7 @@ select doc_id,
 from documents where text is not null and text <> ''
 """,
         "q_hash_split": _hash_split_oracle(),
+        "q_stratified_sample": _stratified_sample_oracle(),
         "q_decontam": _decontam_oracle(),
         "q_decontam_13": _decontam_oracle(13),
         "q_filter_summary": _filter_summary_oracle(),
@@ -1255,5 +1303,48 @@ reach (doc, r) as (
   select e.u, reach.r from edges e join reach on reach.doc = e.v
 )
 select doc as doc_id, min(r) as component from reach group by doc
+"""
+    # keep-best composes the q_dup_groups components with the q_quality
+    # score — generated from the same simhash-pair SQL, so no drift
+    sqls["q_dedup_best"] = f"""
+with recursive pairs as materialized (
+  select a, b from ({sqls["q_simhash_pairs"]})
+),
+nodes as (select a as doc from pairs union select b from pairs),
+edges as (select a as u, b as v from pairs union select b, a from pairs),
+reach (doc, r) as (
+  select doc, doc from nodes
+  union
+  select e.u, reach.r from edges e join reach on reach.doc = e.v
+),
+comp as (select doc as doc_id, min(r) as group_id from reach group by doc),
+elig as (select doc_id from documents where text is not null and text <> ''),
+grp as (
+  select doc_id, group_id from comp
+  union all
+  select e.doc_id, e.doc_id as group_id from elig e
+  where e.doc_id not in (select doc_id from comp)
+),
+{_WRD},
+agg as (
+  select doc_id, count(*) as n_tokens, count(distinct word) as n_distinct
+  from wrd group by doc_id
+),
+q as (
+  select e.doc_id,
+         least(coalesce(a.n_tokens, 0) / 50.0, 1.0)
+           * (cast(coalesce(a.n_distinct, 0) as double)
+              / greatest(coalesce(a.n_tokens, 0), 1)) as quality
+  from elig e left join agg a on e.doc_id = a.doc_id
+),
+r as (
+  select g.group_id, g.doc_id,
+         count(*) over (partition by g.group_id) as group_size,
+         row_number() over (partition by g.group_id
+                            order by q.quality desc, g.doc_id) as rn
+  from grp g join q on g.doc_id = q.doc_id
+)
+select group_id, doc_id as keep_doc_id, cast(group_size as bigint) as group_size
+from r where rn = 1
 """
     return sqls

@@ -38,6 +38,10 @@ def main() -> None:
     warehouse = sys.argv[3]
     out_json = sys.argv[4]
     run_queries = "--queries" in sys.argv[5:]
+    # --skip-build: reuse an already-built warehouse and only time queries —
+    # used to re-measure latency after a search-path change without paying a
+    # full rebuild (the index bytes are unaffected by query-side code)
+    skip_build = "--skip-build" in sys.argv[5:]
 
     from searchengine_spark.config import EngineConfig
     from searchengine_spark.engine import SearchEngine
@@ -59,29 +63,36 @@ def main() -> None:
     eng = SearchEngine(spark, warehouse, cfg)
 
     sent_pre = _sentinel(spark)
-    t0 = time.time()
-    res = eng.build(transcripts, resume=False)
-    build_s = time.time() - t0
-    sent_post = _sentinel(spark)
+    if skip_build:
+        out = {
+            "cores": cores,
+            "sentinel_s": round(sent_pre, 4),
+            "skip_build": True,
+        }
+    else:
+        t0 = time.time()
+        res = eng.build(transcripts, resume=False)
+        build_s = time.time() - t0
+        sent_post = _sentinel(spark)
 
-    out = {
-        "cores": cores,
-        "sentinel_s": round(statistics.median([sent_pre, sent_post]), 4),
-        "sentinel_pre_s": round(sent_pre, 4),
-        "sentinel_post_s": round(sent_post, 4),
-        "n_docs": res.n_docs,
-        "build_seconds": round(build_s, 2),
-        "turns_per_sec": round(res.n_docs / build_s, 2),
-        "postings_per_sec": round(
-            res.metrics.get("postings.rows", 0) / build_s, 2
-        ),
-        "partition_skew": round(res.metrics.get("postings.partition_skew", 0), 3),
-        "stage_seconds": {
-            k.split(".")[0]: round(v, 2)
-            for k, v in res.metrics.items()
-            if k.endswith(".seconds")
-        },
-    }
+        out = {
+            "cores": cores,
+            "sentinel_s": round(statistics.median([sent_pre, sent_post]), 4),
+            "sentinel_pre_s": round(sent_pre, 4),
+            "sentinel_post_s": round(sent_post, 4),
+            "n_docs": res.n_docs,
+            "build_seconds": round(build_s, 2),
+            "turns_per_sec": round(res.n_docs / build_s, 2),
+            "postings_per_sec": round(
+                res.metrics.get("postings.rows", 0) / build_s, 2
+            ),
+            "partition_skew": round(res.metrics.get("postings.partition_skew", 0), 3),
+            "stage_seconds": {
+                k.split(".")[0]: round(v, 2)
+                for k, v in res.metrics.items()
+                if k.endswith(".seconds")
+            },
+        }
 
     if run_queries:
         from searchengine_spark.queryset import REFERENCE_QUERIES

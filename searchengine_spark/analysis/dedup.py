@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from searchengine_spark.analysis.textstats import h32_col, word_ngrams, words
+from searchengine_spark.analysis.textstats import (
+    h32_col,
+    quality_score,
+    word_ngrams,
+    words,
+)
 from searchengine_spark.oracle.sqlgen import MINHASH_P, _MINHASH_AB
 
 N_MINHASH = 16
@@ -104,6 +109,50 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
         "canonical_doc",
         (F.col("doc_id") != F.col("canonical_doc")).cast("int").alias("is_dup"),
     )
+
+
+def keep_best_per_group(documents: DataFrame, groups: DataFrame) -> DataFrame:
+    """(group_id, keep_doc_id, group_size): ONE representative per dup
+    group — highest ``quality_score`` wins, lowest doc_id breaks ties, so
+    the winner is deterministic under any partitioning. ``groups`` is any
+    (doc_id, group_id) assignment (e.g. :func:`connected_components`).
+
+    Scale shape: the quality aggregate's (doc_id, word) shuffle, then ONE
+    hash shuffle on group_id with the winner picked by ``min_by`` over a
+    (−quality, doc_id) struct — a groupBy aggregate with a map-side
+    partial, no window, so even a 10^9-member boilerplate group never
+    buffers in a single task."""
+    q = quality_score(documents).select("doc_id", "quality")
+    j = groups.join(q, "doc_id")
+    pick = F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("d"))
+    return j.groupBy("group_id").agg(
+        F.min_by("doc_id", pick).alias("keep_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+
+
+def dedup_keep_best(documents: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Near-dup dedup, the step a training pipeline actually runs: group
+    near-duplicates transitively (verified SimHash pairs →
+    :func:`connected_components`; exact dups are Hamming-0 so they group
+    too), then keep the best-quality member of each group — unlike exact
+    dedup, group members differ in text here, so the quality rule picks a
+    real winner, not a tiebreak. Eligible docs in no pair are their own
+    singleton group, so the result covers the whole corpus: semi-join the
+    corpus on keep_doc_id for the deduplicated rows."""
+    if pairs is None:
+        pairs = simhash_pairs(documents, bits=16, max_hamming=3)
+    comp = connected_components(pairs.select("a", "b"))
+    eligible = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id")
+    singles = eligible.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    groups = comp.unionByName(singles).select(
+        "doc_id", F.col("component").alias("group_id")
+    )
+    return keep_best_per_group(documents, groups)
 
 
 def doc_terms(documents: DataFrame) -> DataFrame:

@@ -178,6 +178,50 @@ def split_cols(id_col: Column, splits=DEFAULT_SPLITS, salt: str = "split-v1"):
     return bucket, assign.otherwise(F.lit(splits[-1][0]))
 
 
+#: default per-stratum keep rates for the stratified sampler (basis: the
+#: lang_id strata; a real pipeline passes its own {stratum: rate} map)
+SAMPLE_DEFAULT_RATES = (("en", 0.5), ("und", 0.1))
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates=SAMPLE_DEFAULT_RATES,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """(doc_id, stratum, sample_bucket, sampled): deterministic per-stratum
+    downsampling — stratum is the ``lang_id`` prediction, and a doc is kept
+    iff ``H32(doc_id:salt) mod SPLIT_BUCKETS < rate[stratum]·SPLIT_BUCKETS``.
+    The same growth-stable hash gate as ``hash_split``: a doc's fate never
+    changes when other docs arrive (the property ``df.sampleBy`` lacks —
+    Bernoulli draws reshuffle on every re-run), and changing ``salt``
+    re-draws the sample. Strata not in ``rates`` drop (rate 0).
+
+    Scale shape: the lang-ID (doc_id, word) aggregate is the only shuffle;
+    the gate itself is a per-row built-in expression — embarrassingly
+    parallel, no sort, no window, no state."""
+    strata = lang_id(documents).select(
+        "doc_id", F.col("pred_lang").alias("stratum")
+    )
+    bucket = h32_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    ) % SPLIT_BUCKETS
+    thr = None
+    for name, r in rates:
+        t = F.lit(int(round(r * SPLIT_BUCKETS)))
+        thr = (
+            F.when(F.col("stratum") == name, t)
+            if thr is None
+            else thr.when(F.col("stratum") == name, t)
+        )
+    thr = thr.otherwise(F.lit(0))
+    return strata.select(
+        "doc_id",
+        "stratum",
+        bucket.alias("sample_bucket"),
+        (bucket < thr).cast("long").alias("sampled"),
+    )
+
+
 def decontaminate(
     documents: DataFrame,
     n: int = 3,

@@ -620,3 +620,89 @@ def test_filter_corpus_reasons_and_partition(spark):
     strict = dict(loose, min_quality=1.1)
     r3 = textstats.corpus_filter_reasons(docs, strict).toPandas()
     assert set(r3[r3["doc_id"] == 3]["reason"]) == {"low_quality"}
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    # a 3-member near-dup group with a quality spread (a repeated-word copy
+    # scores lower on lexical diversity), plus a singleton. The winner must
+    # be the quality rule's pick, verified against quality_score directly
+    # rather than assumed.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 30],
+            "text": [
+                base + " alpha alpha alpha alpha",   # dup words → lower uniq
+                base + " lambda",                    # diverse → higher score
+                base + " alpha beta alpha beta",
+                "unique words here entirely",        # singleton
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    # explicit pair set: the whole point under test is the grouping+pick,
+    # not the simhash generator (covered elsewhere)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [10, 11], "b": [11, 12]}), "a long, b long"
+    )
+    out = dedup.dedup_keep_best(docs, pairs=pairs).toPandas()
+    by_group = out.set_index("group_id")
+    assert set(by_group.index) == {10, 30}
+    assert by_group.loc[10, "group_size"] == 3
+    assert by_group.loc[30, "group_size"] == 1
+    q = (
+        textstats.quality_score(docs)
+        .toPandas()
+        .set_index("doc_id")["quality"]
+    )
+    expected = sorted([10, 11, 12], key=lambda d: (-q[d], d))[0]
+    assert by_group.loc[10, "keep_doc_id"] == expected == 11
+    # deterministic: re-run identical
+    again = dedup.dedup_keep_best(docs, pairs=pairs).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("group_id").reset_index(drop=True),
+        again.sort_values("group_id").reset_index(drop=True),
+    )
+
+
+def test_stratified_sample_deterministic_and_growth_stable(spark):
+    en = "the cat is on the mat and it is warm in the sun of an old day"
+    und = "zorblax quixotic vermillion substrate"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [en if i % 2 == 0 else und for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = textstats.stratified_sample(docs).toPandas().set_index("doc_id")
+    assert set(out["stratum"]) == {"en", "und"}
+    # deterministic: re-run is identical
+    again = textstats.stratified_sample(docs).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(out.sort_index(), again.sort_index())
+    # growth-stable: a doc's fate is unchanged when the corpus doubles
+    bigger = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(400),
+                "text": [en if i % 2 == 0 else und for i in range(400)],
+            }
+        ),
+        "doc_id long, text string",
+    )
+    out2 = textstats.stratified_sample(bigger).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(
+        out.sort_index(), out2.loc[out.index].sort_index()
+    )
+    # per-stratum rates roughly honored (hash-uniform; wide tolerance)
+    en_rate = out2[out2.stratum == "en"]["sampled"].mean()
+    und_rate = out2[out2.stratum == "und"]["sampled"].mean()
+    assert 0.3 < en_rate < 0.7 and und_rate < 0.3
+    # unknown strata drop: empty rate map keeps nothing
+    none = textstats.stratified_sample(docs, rates=(("xx", 1.0),)).toPandas()
+    assert none["sampled"].sum() == 0
+    # changing the salt re-draws the assignment
+    salted = textstats.stratified_sample(docs, salt="sample-v2").toPandas()
+    assert (
+        salted.set_index("doc_id")["sampled"] != out["sampled"]
+    ).any()
