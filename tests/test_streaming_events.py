@@ -1,0 +1,155 @@
+"""Streaming twins of the batch event operators: watermarked windowed
+aggregation (late data dropped, state bounded) and applyInPandasWithState
+sessionization (last emission per session == the batch sessionize row)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from searchengine_spark.analysis.events import sessionize, windowed_counts
+from searchengine_spark.streaming.events import (
+    read_events_stream,
+    run_collecting,
+    sessionize_stream,
+    windowed_counts_stream,
+)
+
+
+def _events_pdf(rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    return pd.DataFrame(
+        {
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": pd.array([r[2] for r in rows], dtype="int64"),
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+def _write_ordered(indir, pdfs):
+    """One parquet per micro-batch; mtimes force the file-source order."""
+    for i, pdf in enumerate(pdfs):
+        p = os.path.join(indir, f"batch{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+def _last_per_key(batches, keys):
+    frames = [pdf.assign(_bid=bid) for bid, pdf in batches]
+    allpdf = pd.concat(frames, ignore_index=True)
+    allpdf = allpdf.sort_values("_bid", kind="mergesort")
+    return (
+        allpdf.groupby(keys, as_index=False)
+        .last()
+        .drop(columns=["_bid"])
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+
+
+def test_stream_windowed_counts_parity_and_late_drop(spark):
+    indir = tempfile.mkdtemp(prefix="se_evstr_")
+    ckpt = tempfile.mkdtemp(prefix="se_evck_")
+    try:
+        batch1 = _events_pdf(
+            [
+                (1, "2026-01-01 00:10:00", 1, "click", 1.0),
+                (2, "2026-01-01 00:40:00", 1, "click", 2.0),
+                (3, "2026-01-01 01:20:00", 2, "view", 3.0),
+                (4, "2026-01-01 03:30:00", 2, "click", 4.0),  # watermark anchor
+            ]
+        )
+        ontime = (10, "2026-01-01 03:45:00", 3, "view", 5.0)
+        batch2 = _events_pdf([ontime])
+        late = (9, "2026-01-01 00:30:00", 3, "click", 100.0)  # window closed
+        batch3 = _events_pdf([late])
+        _write_ordered(indir, [batch1, batch2, batch3])
+
+        # watermark after batch1 = 03:30 - 1h = 02:30 > the late row's
+        # window end (01:00) → the state store must drop it. The late file
+        # arrives TWO triggers after the anchor: availableNow pre-plans the
+        # next batch's offsets (incl. its watermark metadata) before the
+        # previous batch commits, so the filter takes effect one batch
+        # later than the progress-reported watermark (measured; the live
+        # micro-batch trigger has the same one-batch construction lag)
+        src = read_events_stream(spark, indir, max_files_per_trigger=1)
+        stream = windowed_counts_stream(src, window="1 hour", watermark="1 hour")
+        got = _last_per_key(
+            run_collecting(stream, ckpt), ["window_start", "event_type"]
+        )
+
+        kept = pd.concat([batch1, batch2], ignore_index=True)
+        exp = (
+            windowed_counts(spark.createDataFrame(kept))
+            .toPandas()
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+        # the dropped row's (window, type) must not exist at all for user-3's
+        # late click (00:00 window has only the on-time batch1 clicks)
+        w0 = got[
+            (got.window_start == pd.Timestamp("2026-01-01 00:00:00"))
+            & (got.event_type == "click")
+        ]
+        assert float(w0["sum_value"].iloc[0]) == 3.0  # 1.0 + 2.0, not +100
+    finally:
+        for d in (indir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sessionize_matches_batch(spark):
+    indir = tempfile.mkdtemp(prefix="se_sestr_")
+    ckpt = tempfile.mkdtemp(prefix="se_seck_")
+    try:
+        # user 1: two sessions split ACROSS batches (gap inside batch 2);
+        # user 2: one session spanning batches 1-3 (state carry-over);
+        # user 3: appears only in batch 3 (fresh state mid-stream)
+        b1 = [
+            (1, "2026-01-01 00:00:00", 1, "click", 1.0),
+            (2, "2026-01-01 00:10:00", 1, "click", 1.0),
+            (3, "2026-01-01 00:05:00", 2, "view", 1.0),
+        ]
+        b2 = [
+            (4, "2026-01-01 02:00:00", 1, "click", 1.0),  # >30 min gap → new
+            (5, "2026-01-01 00:20:00", 2, "view", 1.0),
+        ]
+        b3 = [
+            (6, "2026-01-01 02:10:00", 1, "click", 1.0),
+            (7, "2026-01-01 00:45:00", 2, "view", 1.0),
+            (8, "2026-01-01 09:00:00", 3, "click", 1.0),
+        ]
+        pdfs = [_events_pdf(b) for b in (b1, b2, b3)]
+        _write_ordered(indir, pdfs)
+
+        src = read_events_stream(spark, indir, max_files_per_trigger=1)
+        got = _last_per_key(
+            run_collecting(sessionize_stream(src, gap_minutes=30), ckpt),
+            ["user_id", "session_id"],
+        )
+
+        exp = (
+            sessionize(
+                spark.createDataFrame(pd.concat(pdfs, ignore_index=True)),
+                gap_minutes=30,
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+        assert len(exp) == 4  # 2 + 1 + 1 sessions
+    finally:
+        for d in (indir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
