@@ -230,3 +230,36 @@ def test_two_pass_wand_on_off_equivalence(engine):
                     assert len(p_on) <= c_on <= c_off
     finally:
         sr.cfg = cfg_base
+
+
+def test_two_pass_cold_async_warm_then_engage(engine):
+    """A cold term set must not pay the UB metadata job in its own critical
+    path: the first bm25 query runs one-pass while a background thread warms
+    the memo; once warm, the same query engages two-pass with identical
+    results (and the inflight set drains)."""
+    import dataclasses
+    import time as _t
+
+    import pandas as pd
+
+    sr = engine.searcher
+    cfg_base = sr.cfg
+    sr._shard_mtf_cache.clear()
+    sr.cfg = dataclasses.replace(
+        sr.cfg, wand_shards_per_core=0.0, wand_skew_min_frac=0.0
+    )
+    try:
+        assert sr._two_pass_possible()
+        p1, c1 = engine.search("hotalpha hotbeta", mode="bm25", exact_count=True)
+        deadline = _t.time() + 120
+        while _t.time() < deadline and (sr._mtf_inflight or not sr._shard_mtf_cache):
+            _t.sleep(0.05)
+        assert not sr._mtf_inflight
+        assert sr._shard_mtf_cache  # warm: the async fetch landed
+        tl, idf, *_ = sr._plan("hotalpha hotbeta", None, "bm25")
+        assert sr._shard_ubs_if_cached(tl, idf, None)  # engages now
+        p2, c2 = engine.search("hotalpha hotbeta", mode="bm25", exact_count=True)
+        pd.testing.assert_frame_equal(p1, p2)
+        assert c1 == c2
+    finally:
+        sr.cfg = cfg_base
