@@ -358,6 +358,21 @@ def q_embed_neardup(spark, sf_dir):
 
 
 # ---- text analysis / multimodal -------------------------------------------
+def q_embed_dup_groups(spark, sf_dir):
+    """Transitive near-dup groups in EMBEDDING space: connected components
+    over the cosine-verified LSH pair set — the same CC operator as the
+    text-side q_dup_groups, composed across modalities."""
+    pairs = ann.lsh_bucket_pairs(
+        _embeddings(spark, sf_dir),
+        threshold=EMBED_TAU,
+        n_bits=ENTRY_LSH_BITS,
+        dim=EMBED_DIM,
+    )
+    return dedup.connected_components(pairs.select("a", "b")).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_documents(spark, sf_dir))
 
@@ -422,6 +437,12 @@ def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling over the lang-ID strata —
     growth-stable hash gate, not Bernoulli draws."""
     return textstats.stratified_sample(_documents(spark, sf_dir))
+
+
+def q_split_token_budget(spark, sf_dir):
+    """Per-split BPE token budget: the mixture report of training-data
+    prep (split derived per-row, zero joins, one 3-row aggregate)."""
+    return textstats.split_token_budget(_documents(spark, sf_dir))
 
 
 def q_repetition(spark, sf_dir):
@@ -512,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_served": q_ann_ivf_served,
         "q_lsh_buckets": q_lsh_buckets,
         "q_embed_neardup": q_embed_neardup,
+        "q_embed_dup_groups": q_embed_dup_groups,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_token_stats": q_token_stats,
@@ -520,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": q_bpe_tokens,
         "q_hash_split": q_hash_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_split_token_budget": q_split_token_budget,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
         "q_decontam_13": q_decontam_13,
@@ -1204,6 +1227,16 @@ from documents where text is not null and text <> ''
 """,
         "q_hash_split": _hash_split_oracle(),
         "q_stratified_sample": _stratified_sample_oracle(),
+        "q_split_token_budget": f"""
+with b as (
+  select {_split_case_sql(_split_bucket_sql())} as split,
+         cast(len(regexp_extract_all(text, '{textstats.BPE_TOKEN}')) as bigint)
+           as n
+  from documents where text is not null and text <> ''
+)
+select split, count(*) as n_docs, sum(n) as n_bpe_tokens
+from b group by split
+""",
         "q_decontam": _decontam_oracle(),
         "q_decontam_13": _decontam_oracle(13),
         "q_filter_summary": _filter_summary_oracle(),
@@ -1303,6 +1336,21 @@ reach (doc, r) as (
   select e.u, reach.r from edges e join reach on reach.doc = e.v
 )
 select doc as doc_id, min(r) as component from reach group by doc
+"""
+    # embedding-space dup groups: the same recursive-CC shape over the
+    # cosine-verified LSH pair SQL
+    sqls["q_embed_dup_groups"] = f"""
+with recursive pairs as materialized (
+  select a, b from ({sqls["q_embed_neardup"]})
+),
+nodes as (select a as doc from pairs union select b from pairs),
+edges as (select a as u, b as v from pairs union select b, a from pairs),
+reach (doc, r) as (
+  select doc, doc from nodes
+  union
+  select e.u, reach.r from edges e join reach on reach.doc = e.v
+)
+select doc as vec_id, min(r) as component from reach group by doc
 """
     # keep-best composes the q_dup_groups components with the q_quality
     # score — generated from the same simhash-pair SQL, so no drift

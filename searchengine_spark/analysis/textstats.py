@@ -222,6 +222,34 @@ def stratified_sample(
     )
 
 
+def split_token_budget(
+    documents: DataFrame,
+    splits=DEFAULT_SPLITS,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """(split, n_docs, n_bpe_tokens): the token budget per train/val/test
+    split — the report that decides whether a mixture hits its target
+    token counts. The split is derived PER ROW from the same hash gate as
+    :func:`hash_split` (no join against an assignment table) and the BPE
+    pre-tokenizer count is the :func:`bpe_token_stats` expression, so the
+    whole report is one codegen'd pass over the corpus + a 3-row
+    aggregate: zero joins, one shuffle of 3 partial rows per task."""
+    eligible = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    _, assign = split_cols(F.col("doc_id"), splits, salt)
+    per_doc = eligible.select(
+        assign.alias("split"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN), F.lit(0))).alias(
+            "n"
+        ),
+    )
+    return per_doc.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_bpe_tokens"),
+    )
+
+
 def decontaminate(
     documents: DataFrame,
     n: int = 3,
