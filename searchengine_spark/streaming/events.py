@@ -90,13 +90,26 @@ def windowed_counts_stream(
     )
 
 
-def _session_fn(gap_us: int) -> Callable:
+def _session_fn(gap_us: int, use_timeout: bool = False) -> Callable:
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user = key[0]
+        if use_timeout and state.hasTimedOut:
+            # the event-time watermark passed (last event + gap): the open
+            # session can never be extended — emit its final row and EVICT
+            # the state (unbounded streams must not hold idle users forever)
+            sess, start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user, sess, n, start, end)],
+                columns=[
+                    "user_id", "session_id", "n_events", "start_us", "end_us"
+                ],
+            )
+            return
         if state.exists:
             sess, start, end, n = state.get
         else:
@@ -122,6 +135,10 @@ def _session_fn(gap_us: int) -> Callable:
         if n:
             rows.append((user, sess, n, start, end))  # running aggregate
         state.update((int(sess), int(start), int(end), int(n)))
+        if use_timeout:
+            # close the open session when the watermark passes its gap
+            # horizon; +1 ms so an event AT the horizon still extends it
+            state.setTimeoutTimestamp((int(end) + gap_us) // 1000 + 1)
         yield pd.DataFrame(
             rows,
             columns=["user_id", "session_id", "n_events", "start_us", "end_us"],
@@ -131,25 +148,43 @@ def _session_fn(gap_us: int) -> Callable:
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = 30
+    events: DataFrame,
+    gap_minutes: int = 30,
+    idle_timeout_watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator:
     ``applyInPandasWithState`` keyed by user_id, one open session of four
     scalars as state. Emits every session the batch touched with its
     running aggregate; the last emission per (user_id, session_id) is the
-    session's final row. NoTimeout: an idle user's open session stays
-    pending until their next event (an eviction policy would add an
-    event-time timeout that force-closes it — same function, one branch)."""
+    session's final row.
+
+    ``idle_timeout_watermark`` (e.g. ``"1 hour"``) switches on event-time
+    state EVICTION — the property an unbounded 100-TB stream requires:
+    a watermark is attached to ``ts`` and each open session arms a timeout
+    at (last event + gap), so when the watermark passes it the session
+    emits its final row and its state is REMOVED — memory is then
+    O(users active within the gap+watermark horizon), not O(all users
+    ever seen). Default None keeps NoTimeout semantics (state pending
+    until the user's next event; simplest for bounded catch-up runs —
+    note the watermark also drops late events, so only feed it streams
+    whose disorder is within the delay)."""
     gap_us = gap_minutes * 60 * 1_000_000
-    base = events.select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("_us")
+    src = events
+    timeout = GroupStateTimeout.NoTimeout
+    if idle_timeout_watermark is not None:
+        src = events.withWatermark("ts", idle_timeout_watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    # ts stays in the projection: event-time timeout requires the
+    # watermarked column to survive into the stateful operator's input
+    base = src.select(
+        "user_id", "event_id", "ts", F.unix_micros(F.col("ts")).alias("_us")
     )
     return base.groupby("user_id").applyInPandasWithState(
-        _session_fn(gap_us),
+        _session_fn(gap_us, use_timeout=idle_timeout_watermark is not None),
         SESSION_OUT_SCHEMA,
         SESSION_STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

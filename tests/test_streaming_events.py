@@ -153,3 +153,58 @@ def test_stream_sessionize_matches_batch(spark):
     finally:
         for d in (indir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sessionize_idle_timeout_evicts_state(spark):
+    """With idle_timeout_watermark set, an idle user's open session closes
+    via event-time timeout when the watermark passes (last event + gap):
+    the final row is emitted in a batch carrying NO events for that user,
+    and the emitted aggregate matches the batch sessionize row."""
+    indir = tempfile.mkdtemp(prefix="se_setmo_")
+    ckpt = tempfile.mkdtemp(prefix="se_setmock_")
+    try:
+        # user 9 is active only in batch 1; users 5/6 keep the watermark
+        # advancing afterwards (gap 30 min + watermark 30 min → horizon
+        # 01:00; batches 2-4 push the watermark far past it — several
+        # batches because availableNow applies the watermark one batch late)
+        b1 = [
+            (1, "2026-01-01 00:00:00", 9, "click", 1.0),
+            (2, "2026-01-01 00:10:00", 9, "click", 1.0),
+        ]
+        b2 = [(3, "2026-01-01 04:00:00", 5, "view", 1.0)]
+        b3 = [(4, "2026-01-01 08:00:00", 6, "view", 1.0)]
+        b4 = [(5, "2026-01-01 12:00:00", 5, "view", 1.0)]
+        pdfs = [_events_pdf(b) for b in (b1, b2, b3, b4)]
+        _write_ordered(indir, pdfs)
+
+        src = read_events_stream(spark, indir, max_files_per_trigger=1)
+        batches = run_collecting(
+            sessionize_stream(
+                src, gap_minutes=30, idle_timeout_watermark="30 minutes"
+            ),
+            ckpt,
+        )
+        # the timeout emission: a user-9 row in a batch with no user-9 input
+        timeout_rows = [
+            (bid, r)
+            for bid, pdf in batches
+            for r in pdf[pdf.user_id == 9].itertuples()
+            if bid > 0
+        ]
+        assert timeout_rows, "idle session never closed via timeout"
+        got = _last_per_key(batches, ["user_id", "session_id"])
+        exp = (
+            sessionize(
+                spark.createDataFrame(pd.concat(pdfs, ignore_index=True)),
+                gap_minutes=30,
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+    finally:
+        for d in (indir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
