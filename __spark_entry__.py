@@ -1234,7 +1234,7 @@ with b as (
            as n
   from documents where text is not null and text <> ''
 )
-select split, count(*) as n_docs, sum(n) as n_bpe_tokens
+select split, count(*) as n_docs, cast(sum(n) as bigint) as n_bpe_tokens
 from b group by split
 """,
         "q_decontam": _decontam_oracle(),
@@ -1299,13 +1299,13 @@ flags as (
 sess as (
   select user_id, us,
          sum(f) over (partition by user_id order by us, event_id
-                      rows unbounded preceding) as session_id
+                      rows unbounded preceding) as s
   from flags
 )
-select user_id, cast(session_id as bigint) as session_id,
+select user_id, min(us) as session_id,
        count(*) as n_events,
        min(us) as start_us, max(us) as end_us
-from sess group by user_id, session_id
+from sess group by user_id, s
 """,
         "q_multimodal_binary": f"""
 with pl as (

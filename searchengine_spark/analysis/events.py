@@ -44,9 +44,13 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_id, n_events, start_us, end_us): maximal event
     runs per user with inter-event gaps ≤ ``gap_minutes``. session_id is
-    the user's 0-based session index in time order (deterministic: ties on
-    ts break by event_id). Per-user windows — state bounded by one user's
-    history, the classic sessionization shuffle shape."""
+    the session's START TIME in epoch microseconds (== start_us) — a
+    globally stable identifier: it survives incremental recompute, and the
+    streaming twin can evict idle-user state without ever re-issuing an id
+    (a per-user 0-based counter cannot — a user returning after state
+    eviction would restart the counter and collide with already-emitted
+    sessions). Per-user windows — state bounded by one user's history, the
+    classic sessionization shuffle shape."""
     gap_us = gap_minutes * 60 * 1_000_000
     # parquet naive timestamps read as TIMESTAMP_NTZ; the session tz is UTC,
     # so the cast is wallclock-identity and matches DuckDB's epoch_us
@@ -57,13 +61,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.col("_us") - F.lag("_us").over(w) > F.lit(gap_us)
     ).cast("int")
     with_sess = base.withColumn(
-        "session_id",
+        "_sess",
         F.coalesce(
             F.sum(F.coalesce(new_session, F.lit(0))).over(w), F.lit(0)
         ),
     )
-    return with_sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("_us").alias("start_us"),
-        F.max("_us").alias("end_us"),
+    return (
+        with_sess.groupBy("user_id", "_sess")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            F.col("start_us").alias("session_id"),
+            "n_events",
+            "start_us",
+            "end_us",
+        )
     )

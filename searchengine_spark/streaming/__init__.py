@@ -1,6 +1,7 @@
 from searchengine_spark.streaming.events import (
     read_events_stream,
     sessionize_stream,
+    sessionize_stream_ooo,
     windowed_counts_stream,
 )
 from searchengine_spark.streaming.ingest import append_turns, stream_transcripts
@@ -10,5 +11,6 @@ __all__ = [
     "stream_transcripts",
     "read_events_stream",
     "sessionize_stream",
+    "sessionize_stream_ooo",
     "windowed_counts_stream",
 ]

@@ -19,12 +19,12 @@
   :func:`~searchengine_spark.analysis.events.sessionize` row over the
   same prefix of events.
 
-Correctness contract: per-user event-time order ACROSS micro-batches
-(within a batch the operator sorts). An out-of-order producer needs a
-watermark-buffered reorder stage first; the driver fixtures and the
-parity tests feed time-ordered files, which is also how a replayed log
-(the 100-TB case: Kafka partitions keyed by user, or date-partitioned
-object storage) arrives.
+Correctness contract of :func:`stream_sessionize`: per-user event-time
+order ACROSS micro-batches (within a batch the operator sorts) — the
+shape a replayed log arrives in (Kafka partitions keyed by user, or
+date-partitioned object storage). A genuinely out-of-order producer uses
+:func:`sessionize_stream_ooo` instead: merge-capable interval state +
+watermark-bounded disorder, final-only emission.
 
 Both run with ``trigger(availableNow=True)`` for batch-incremental
 catch-up (the tests) or the default micro-batch trigger for a live feed —
@@ -48,8 +48,13 @@ EVENTS_SCHEMA = (
 SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, start_us long, end_us long"
 )
-#: open-session state per user: (session index, start, end, count)
-SESSION_STATE_SCHEMA = "sess long, start long, end long, n long"
+#: open-session state per user: (start, end, count); session_id == start
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+#: merge-capable state for the out-of-order path: every still-open session
+#: as parallel arrays (sorted by start)
+SESSION_OOO_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>"
+)
 
 
 def read_events_stream(
@@ -90,6 +95,9 @@ def windowed_counts_stream(
     )
 
 
+_SESSION_COLS = ["user_id", "session_id", "n_events", "start_us", "end_us"]
+
+
 def _session_fn(gap_us: int, use_timeout: bool = False) -> Callable:
     def fn(
         key: Tuple[Any, ...],
@@ -100,20 +108,21 @@ def _session_fn(gap_us: int, use_timeout: bool = False) -> Callable:
         if use_timeout and state.hasTimedOut:
             # the event-time watermark passed (last event + gap): the open
             # session can never be extended — emit its final row and EVICT
-            # the state (unbounded streams must not hold idle users forever)
-            sess, start, end, n = state.get
+            # the state (unbounded streams must not hold idle users forever).
+            # session_id == start_us, so a user returning AFTER eviction
+            # opens a session with a strictly larger id (any post-eviction
+            # event time exceeds the watermark, which already passed
+            # end+gap) — ids never collide across eviction.
+            start, end, n = state.get
             state.remove()
             yield pd.DataFrame(
-                [(user, sess, n, start, end)],
-                columns=[
-                    "user_id", "session_id", "n_events", "start_us", "end_us"
-                ],
+                [(user, start, n, start, end)], columns=_SESSION_COLS
             )
             return
         if state.exists:
-            sess, start, end, n = state.get
+            start, end, n = state.get
         else:
-            sess, start, end, n = 0, None, None, 0
+            start, end, n = None, None, 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         # in-batch ordering: event time, then event_id (the batch twin's
         # deterministic tiebreak)
@@ -125,24 +134,86 @@ def _session_fn(gap_us: int, use_timeout: bool = False) -> Callable:
                 start = end = us
                 n = 1
             elif us - end > gap_us:
-                rows.append((user, sess, n, start, end))  # final emission
-                sess += 1
+                rows.append((user, start, n, start, end))  # final emission
                 start = end = us
                 n = 1
             else:
                 end = us
                 n += 1
         if n:
-            rows.append((user, sess, n, start, end))  # running aggregate
-        state.update((int(sess), int(start), int(end), int(n)))
+            rows.append((user, start, n, start, end))  # running aggregate
+        state.update((int(start), int(end), int(n)))
         if use_timeout:
             # close the open session when the watermark passes its gap
             # horizon; +1 ms so an event AT the horizon still extends it
             state.setTimeoutTimestamp((int(end) + gap_us) // 1000 + 1)
-        yield pd.DataFrame(
-            rows,
-            columns=["user_id", "session_id", "n_events", "start_us", "end_us"],
-        )
+        yield pd.DataFrame(rows, columns=_SESSION_COLS)
+
+    return fn
+
+
+def _session_ooo_fn(gap_us: int) -> Callable:
+    """Out-of-order-tolerant sessionizer: state is the full set of OPEN
+    sessions per user as gap-mergeable intervals; a session is emitted
+    exactly once, when the event-time watermark passes end+gap (it can
+    then never change: late rows below the watermark are dropped, and any
+    future row's event time is ≥ the watermark > end+gap, i.e. out of
+    reach). Until then an out-of-order event within the watermark delay
+    can extend a session backwards, land inside it, or BRIDGE two open
+    sessions — the interval sweep below handles all three."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            starts, ends, ns = state.get
+            items = [
+                (int(s), int(e), int(n)) for s, e, n in zip(starts, ends, ns)
+            ]
+        else:
+            items = []
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            # drop rows already below the watermark (Spark's pre-filter is
+            # version/plan dependent for stateful UDFs; enforcing it here
+            # makes the finalized-session invariant self-contained)
+            for us in batch["_us"].to_numpy():
+                us = int(us)
+                if us >= wm_us:
+                    items.append((us, us, 1))
+        # gap-merge sweep over (open sessions ∪ new events), sorted by start
+        items.sort()
+        merged: list[list[int]] = []
+        for s, e, n in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                last = merged[-1]
+                last[1] = max(last[1], e)
+                last[2] += n
+            else:
+                merged.append([s, e, n])
+        final = [it for it in merged if it[1] + gap_us < wm_us]
+        open_ = [it for it in merged if it[1] + gap_us >= wm_us]
+        if open_:
+            state.update((
+                [it[0] for it in open_],
+                [it[1] for it in open_],
+                [it[2] for it in open_],
+            ))
+            # wake when the earliest open session becomes finalizable
+            state.setTimeoutTimestamp(
+                (min(it[1] for it in open_) + gap_us) // 1000 + 1
+            )
+        elif state.exists:
+            state.remove()
+        if final:
+            yield pd.DataFrame(
+                [(user, s, n, s, e) for s, e, n in final],
+                columns=_SESSION_COLS,
+            )
 
     return fn
 
@@ -153,10 +224,15 @@ def sessionize_stream(
     idle_timeout_watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator:
-    ``applyInPandasWithState`` keyed by user_id, one open session of four
+    ``applyInPandasWithState`` keyed by user_id, one open session of three
     scalars as state. Emits every session the batch touched with its
     running aggregate; the last emission per (user_id, session_id) is the
-    session's final row.
+    session's final row. session_id is the session's start time in epoch
+    µs (== start_us), matching the batch twin — ids are therefore stable
+    across state EVICTION: a user returning after an idle timeout opens a
+    strictly later id instead of re-running a counter over ids already
+    emitted (which would silently overwrite earlier sessions in an
+    update-mode sink keyed by (user_id, session_id)).
 
     ``idle_timeout_watermark`` (e.g. ``"1 hour"``) switches on event-time
     state EVICTION — the property an unbounded 100-TB stream requires:
@@ -185,6 +261,44 @@ def sessionize_stream(
         SESSION_STATE_SCHEMA,
         "update",
         timeout,
+    )
+
+
+def sessionize_stream_ooo(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Out-of-order-tolerant gap sessionization (the piece
+    :func:`sessionize_stream` documents as out of scope): per-user events
+    may arrive in any order ACROSS micro-batches as long as their disorder
+    is bounded by ``watermark``. State per user is the set of still-open
+    sessions as gap-mergeable (start, end, n) intervals; an out-of-order
+    event can extend one backwards or bridge two into one. A session is
+    emitted EXACTLY ONCE — when the event-time watermark passes its
+    end+gap, at which point no admissible future event can touch it (rows
+    below the watermark are dropped and counted as late) — so the output
+    is append-semantics final rows that match the batch
+    :func:`~searchengine_spark.analysis.events.sessionize` over the same
+    events. State size per user is O(watermark/gap + 1) open intervals;
+    users with no open interval are fully evicted, so memory is
+    O(active-horizon users) like the ordered path.
+
+    Caveat shared with every watermarked operator: sessions whose end+gap
+    the watermark has not yet passed remain pending in state (an unbounded
+    stream eventually emits them via the event-time timeout; a bounded
+    catch-up run ends with its tail sessions pending unless a final
+    watermark-advancing event arrives)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    base = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", "ts", F.unix_micros(F.col("ts")).alias("_us")
+    )
+    return base.groupby("user_id").applyInPandasWithState(
+        _session_ooo_fn(gap_us),
+        SESSION_OUT_SCHEMA,
+        SESSION_OOO_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -304,7 +304,10 @@ def test_event_sessionize(spark):
     )
     out = ev.sessionize(spark.createDataFrame(pdf), gap_minutes=30).toPandas()
     u1 = out[out["user_id"] == 1].sort_values("session_id")
-    assert list(u1["session_id"]) == [0, 1]
+    # session_id is the session's start time in epoch µs (== start_us):
+    # stable across streaming state eviction, unlike a per-user counter
+    assert list(u1["session_id"]) == list(u1["start_us"])
+    assert len(u1) == 2
     assert list(u1["n_events"]) == [2, 2]
     assert out[out["user_id"] == 2]["n_events"].iloc[0] == 1
 

@@ -29,6 +29,21 @@ def duck():
     return con
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Column -> dtype *kind* ('i', 'f', 'b', 'O', ...) before any coercion.
+
+    The driver's value hash is dtype-aware: Spark int64 vs DuckDB
+    HUGEINT-as-float64 hash differently even when values are equal
+    (round-4 q_split_token_budget failure). Asserting kind equality here
+    makes that class of oracle drift fail in-repo instead of at the driver.
+    """
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = "O" if k in ("O", "U", "S") else k
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -45,11 +60,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(spark, duck, name):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert name in os_, f"{name} has no oracle"
-    got = normalize(qs[name](spark, SF_DIR).toPandas())
-    exp = normalize(duck.execute(os_[name]).df())
+    got_raw = qs[name](spark, SF_DIR).toPandas()
+    exp_raw = duck.execute(os_[name]).df()
+    got, exp = normalize(got_raw), normalize(exp_raw)
     assert list(got.columns) == list(exp.columns), (
         f"{name} columns {list(got.columns)} != {list(exp.columns)}"
     )
+    gk, ek = dtype_kinds(got_raw), dtype_kinds(exp_raw)
+    for c in got.columns:
+        assert gk[c] == ek[c], (
+            f"{name}.{c}: dtype kind mismatch spark={gk[c]} oracle={ek[c]} "
+            f"(driver hash is dtype-aware; cast the oracle SQL)"
+        )
     assert len(got) == len(exp), f"{name} rows {len(got)} != {len(exp)}"
     for c in got.columns:
         if np.issubdtype(got[c].dtype, np.floating):

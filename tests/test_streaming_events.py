@@ -15,6 +15,7 @@ from searchengine_spark.streaming.events import (
     read_events_stream,
     run_collecting,
     sessionize_stream,
+    sessionize_stream_ooo,
     windowed_counts_stream,
 )
 
@@ -150,6 +151,127 @@ def test_stream_sessionize_matches_batch(spark):
             got[exp.columns.tolist()], exp, check_dtype=False
         )
         assert len(exp) == 4  # 2 + 1 + 1 sessions
+    finally:
+        for d in (indir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sessionize_post_eviction_return(spark):
+    """A user who returns AFTER their idle session was timeout-evicted must
+    open a session whose id does NOT collide with any already-emitted id
+    (session_id == start_us makes this structural): an update-mode sink
+    keyed by (user_id, session_id) keeps both sessions."""
+    indir = tempfile.mkdtemp(prefix="se_seret_")
+    ckpt = tempfile.mkdtemp(prefix="se_seretck_")
+    try:
+        # u9 active in b1, idle long enough for the b2/b3 watermark pushers
+        # to fire the event-time timeout (gap 30m + wm 30m → horizon 01:00),
+        # then RETURNS in b4 — state was removed, a fresh session opens
+        b1 = [
+            (1, "2026-01-01 00:00:00", 9, "click", 1.0),
+            (2, "2026-01-01 00:10:00", 9, "click", 1.0),
+        ]
+        b2 = [(3, "2026-01-01 04:00:00", 5, "view", 1.0)]
+        b3 = [(4, "2026-01-01 08:00:00", 6, "view", 1.0)]
+        b4 = [
+            (5, "2026-01-01 12:00:00", 9, "click", 1.0),
+            (6, "2026-01-01 12:05:00", 9, "click", 1.0),
+        ]
+        pdfs = [_events_pdf(b) for b in (b1, b2, b3, b4)]
+        _write_ordered(indir, pdfs)
+
+        src = read_events_stream(spark, indir, max_files_per_trigger=1)
+        batches = run_collecting(
+            sessionize_stream(
+                src, gap_minutes=30, idle_timeout_watermark="30 minutes"
+            ),
+            ckpt,
+        )
+        # the first u9 session must have closed via timeout BEFORE b4
+        # (a u9 row in a batch with no u9 input)
+        assert any(
+            bid in (1, 2) and (pdf.user_id == 9).any() for bid, pdf in batches
+        ), "idle session never closed via timeout before the user returned"
+        got = _last_per_key(batches, ["user_id", "session_id"])
+        u9 = got[got.user_id == 9]
+        assert len(u9) == 2, f"post-eviction session collided: {u9}"
+        exp = (
+            sessionize(
+                spark.createDataFrame(pd.concat(pdfs, ignore_index=True)),
+                gap_minutes=30,
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+    finally:
+        for d in (indir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sessionize_ooo_matches_batch(spark):
+    """Out-of-order feed (per-user disorder bounded by the watermark):
+    sessionize_stream_ooo emits each session exactly once, final, and the
+    set matches the batch sessionizer — including an out-of-order event
+    that BRIDGES two previously-separate open sessions."""
+    indir = tempfile.mkdtemp(prefix="se_seooo_")
+    ckpt = tempfile.mkdtemp(prefix="se_seoook_")
+    try:
+        # u1: events 00:00,00:10,00:20 + 02:00,02:05 arrive shuffled across
+        # batches (disorder < 30m watermark); u2: 00:00 and 00:50 arrive as
+        # two separate open sessions, then 00:25 bridges them into one;
+        # u99: far-future sentinels that advance the watermark so every
+        # u1/u2 session finalizes before the stream drains
+        b1 = [
+            (2, "2026-01-01 00:10:00", 1, "click", 1.0),
+            (10, "2026-01-01 00:00:00", 2, "view", 1.0),
+        ]
+        b2 = [
+            (1, "2026-01-01 00:00:00", 1, "click", 1.0),  # 10m late
+            (3, "2026-01-01 00:20:00", 1, "click", 1.0),
+            (11, "2026-01-01 00:50:00", 2, "view", 1.0),  # 2nd open session
+        ]
+        b3 = [
+            (5, "2026-01-01 02:05:00", 1, "click", 1.0),
+            (12, "2026-01-01 00:25:00", 2, "view", 1.0),  # bridges u2
+        ]
+        b4 = [(4, "2026-01-01 02:00:00", 1, "click", 1.0)]  # 5m late
+        b5 = [(98, "2026-01-01 06:00:00", 99, "view", 1.0)]
+        b6 = [(99, "2026-01-01 10:00:00", 99, "view", 1.0)]
+        pdfs = [_events_pdf(b) for b in (b1, b2, b3, b4, b5, b6)]
+        _write_ordered(indir, pdfs)
+
+        src = read_events_stream(spark, indir, max_files_per_trigger=1)
+        batches = run_collecting(
+            sessionize_stream_ooo(src, gap_minutes=30, watermark="30 minutes"),
+            ckpt,
+        )
+        allpdf = pd.concat([p for _, p in batches], ignore_index=True)
+        emitted = allpdf[allpdf.user_id != 99]
+        # exactly-once: no (user, session_id) appears twice
+        assert not emitted.duplicated(["user_id", "session_id"]).any()
+        got = emitted.sort_values(["user_id", "session_id"]).reset_index(
+            drop=True
+        )
+        full = pd.concat(pdfs, ignore_index=True)
+        exp = (
+            sessionize(
+                spark.createDataFrame(full[full.user_id != 99]),
+                gap_minutes=30,
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+        # the bridge actually happened: u2 has ONE session of 3 events
+        u2 = got[got.user_id == 2]
+        assert len(u2) == 1 and int(u2["n_events"].iloc[0]) == 3
     finally:
         for d in (indir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
