@@ -553,9 +553,12 @@ def build_ivf_index(
     :func:`ivf_topk_indexed` then reads only the probed cids' list
     partitions and runs zero Lloyd/assignment work per query (reference
     analog: the index is persistent, ``repository/IndexRepository.java:10-12``).
-    Lists are written before centroids; centroids are the commit marker
-    (serving reads them first), so a crashed build leaves the previous
-    index intact under the catalog's atomic table swap. Returns
+    Both tables install via the catalog's temp-dir + atomic-swap
+    ``replace`` (lists first, then centroids as the commit marker —
+    serving reads centroids first), so a crash at ANY point of a rebuild
+    leaves the previous index fully servable: mid-write keeps the old
+    lists untouched, mid-swap leaves a ``__old`` twin that
+    ``recover_swaps`` restores. Returns
     ``{"n_centroids": k, "n_vectors": n}``."""
     spark = embeddings.sparkSession
     vecs = _ivf_vecs(embeddings, id_col, vec_col)
@@ -572,7 +575,10 @@ def build_ivf_index(
             F.col("_v").alias("vec"),
             F.col("vnrm").alias("vnrm"),
         )
-        catalog.write(
+        # replace (temp-dir + atomic swap), NOT write: a plain overwrite
+        # deletes the previous lists before writing, so a crash mid-rebuild
+        # would leave surviving centroids pointing at partial/missing lists
+        catalog.replace(
             lists, f"{prefix}_lists",
             partition_by=["cid"], sort_by=["cid", "vec_id"],
         )

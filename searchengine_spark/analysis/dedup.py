@@ -407,8 +407,11 @@ def connected_components(
         multiset equality, and an (n, Σhash) match across rounds certifies
         the fixpoint without the two exceptAll jobs the previous check ran
         (4 → 3 driver jobs per round)."""
-        # hashes sum as decimal(30,0): a long sum overflows (ANSI mode
-        # raises ARITHMETIC_OVERFLOW on the second ~2^63-scale term)
+        # cast each hash to decimal(20,0) (a long term would overflow: ANSI
+        # mode raises ARITHMETIC_OVERFLOW on the second ~2^63-scale term);
+        # Spark then widens the SUM to decimal(30,0) — 10 extra digits, per
+        # DecimalPrecision's sum rule — so the aggregate itself can't
+        # overflow below ~10^10 edges
         r = e.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("a", "b").cast("decimal(20,0)")).alias("h"),
@@ -418,11 +421,18 @@ def connected_components(
     sig = _signature(edges)
     converged = False
     for _ in range(max_iter):
+        prev = edges
         edges = small_star(large_star(edges)).localCheckpoint()
         nxt_sig = _signature(edges)
         if nxt_sig == sig:
-            converged = True
-            break
+            # exact confirmation, paid ONCE on the round the signature
+            # first matches: both sides are distinct sets with equal
+            # counts, so one-direction exceptAll emptiness ⟺ set equality
+            # — closes the (astronomically small) cross-round Σhash
+            # collision window that would falsely certify convergence
+            if edges.exceptAll(prev).isEmpty():
+                converged = True
+                break
         sig = nxt_sig
     if not converged:
         # an unconverged edge multiset is not star-shaped; the (member, root)

@@ -196,6 +196,14 @@ def stratified_sample(
     Bernoulli draws reshuffle on every re-run), and changing ``salt``
     re-draws the sample. Strata not in ``rates`` drop (rate 0).
 
+    Rate QUANTIZATION: each rate is rounded to the nearest multiple of
+    1/SPLIT_BUCKETS (= 1e-4 at the default 10_000), i.e. the effective
+    keep-rate of 0.33333 is exactly 0.3333; rates below 5e-5 round to 0
+    (keep nothing) and anything ≥ 1 - 5e-5 rounds to 1 (keep all). At
+    production scale that bounds the sampled-count error at n·5e-5 —
+    callers needing finer control raise SPLIT_BUCKETS (every split/sample
+    operator shares it; changing it re-draws all assignments).
+
     Scale shape: the lang-ID (doc_id, word) aggregate is the only shuffle;
     the gate itself is a per-row built-in expression — embarrassingly
     parallel, no sort, no window, no state."""

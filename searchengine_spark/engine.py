@@ -37,6 +37,14 @@ class SearchEngine:
         self.warehouse = warehouse
         self.cfg = cfg or EngineConfig()
         self.catalog = TableCatalog(spark, warehouse)
+        # heal crash-interrupted partition swaps from a previous process
+        # BEFORE anything reads committed state: a crashed writer may have
+        # left `*__old` twins (destination renamed aside, replacement not
+        # yet in) that would otherwise read as missing partitions. Mutation
+        # entry points repeat this themselves; doing it here means a
+        # read-only reopen after a crash also serves correctly with no
+        # operator knowing the recovery API exists.
+        self.catalog.recover_all()
         self._searcher: BlockSearcher | None = None
         self._transcripts: DataFrame | None = None
 
@@ -56,6 +64,11 @@ class SearchEngine:
             # are maintained counters, site ranges live in the sites table —
             # NO corpus-sized job runs before the first query
             meta = cat.read_meta()
+            if "shard_size" not in meta:
+                raise RuntimeError(
+                    "index format too old: index_meta lacks 'shard_size' — "
+                    "rebuild the index with SearchEngine.build()"
+                )
             sites_df = cat.read("sites")
             site_rows = sites_df.collect()
             site_ids = {r["site"]: int(r["sid"]) for r in site_rows}

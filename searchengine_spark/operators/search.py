@@ -30,6 +30,7 @@ order (SURVEY §7 float-equality risk).
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -53,6 +54,39 @@ SITE_TERM = "#site"
 SCORE_DECIMALS = 9
 
 KERNEL_SCHEMA = "shard long, doc_id long, score double, cand long"
+
+
+#: per-searcher memo bound: a long-lived serving process under an
+#: adversarial query stream (millions of distinct cold terms) keeps the
+#: driver-side memos at O(cap), not O(distinct terms ever queried)
+MEMO_CAP = 65_536
+
+
+class _LRUCache(OrderedDict):
+    """Bounded dict memo: reads refresh recency, inserts past ``cap`` evict
+    the least-recently-used entries. Individual ops are GIL-atomic enough
+    for the async-warm thread that shares the mtf memo (same posture as the
+    plain dict it replaces — the lock guards the inflight set, not the
+    memo)."""
+
+    def __init__(self, cap: int = MEMO_CAP):
+        super().__init__()
+        self.cap = cap
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self.move_to_end(k)
+        return v
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self.move_to_end(k)
+        while len(self) > self.cap:
+            self.popitem(last=False)
+
+    def update(self, other):  # route bulk inserts through the eviction path
+        for k, v in other.items():
+            self[k] = v
 
 
 class EmptySearchQueryError(ValueError):
@@ -513,13 +547,15 @@ class BlockSearcher:
         # Each query only ever touches its own lemmas, so this stays tiny
         # even with a 10^8-term vocabulary; it removes one terms-table scan
         # job per repeated term (invalidated by reloading the searcher,
-        # which incremental updates do).
-        self._term_stats_cache: dict[str, list] = {}
+        # which incremental updates do). LRU-bounded at MEMO_CAP so an
+        # adversarial stream of distinct cold terms can't grow a serving
+        # process without bound.
+        self._term_stats_cache: dict[str, list] = _LRUCache()
         # per-term {shard: max block_max_tf} memo for two-pass WAND: sized
         # O(shards) per distinct query term, shared across queries (the
         # hot-term case the threshold sharing targets). Warmed ASYNC on
-        # first sight of a term (see _shard_ubs_if_cached).
-        self._shard_mtf_cache: dict[str, dict[int, float]] = {}
+        # first sight of a term (see _shard_ubs_if_cached). Same LRU bound.
+        self._shard_mtf_cache: dict[str, dict[int, float]] = _LRUCache()
         self._mtf_lock = threading.Lock()
         self._mtf_inflight: set[str] = set()
 

@@ -158,17 +158,31 @@ class TableCatalog:
                 out.append(name)
         return out
 
-    def replace(self, df: DataFrame, name: str, sort_by: list[str] | None = None) -> None:
+    def replace(
+        self,
+        df: DataFrame,
+        name: str,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Overwrite a table whose current contents feed ``df`` (read-modify-
-        write): materialize to a temp dir first, then swap crash-safely. With
-        Iceberg this is a plain ``createOrReplace`` (snapshot isolation)."""
+        write) — or whose previous version must survive a crashed rebuild:
+        materialize to a temp dir first, then swap crash-safely (a crash
+        mid-write leaves the old table untouched; a crash mid-swap leaves a
+        ``__old`` twin that :meth:`recover_swaps`/:meth:`recover_all`
+        restores). With Iceberg this is a plain ``createOrReplace``
+        (snapshot isolation)."""
         if self.iceberg_catalog:
-            self.write(df, name, mode="overwrite", sort_by=sort_by)
+            self.write(df, name, mode="overwrite", sort_by=sort_by,
+                       partition_by=partition_by)
             return
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         tmp = self.path(f"{name}__tmp")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         final = self.path(name)
         self._swap_dir(tmp, final)
         # the swap bypassed Spark's writers: drop the stale file-listing

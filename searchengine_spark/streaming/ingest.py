@@ -113,7 +113,15 @@ def append_turns(
     cat.recover_all()  # repair any crash-interrupted partition swap first
     meta = cat.read_meta()
     if epoch is not None:
-        same_run = run_id is None or int(meta.get("stream_run", run_id)) == run_id
+        # a warehouse with stream_epoch but NO stream_run predates the
+        # run-id fence: treat it as a run MISMATCH (process the batch —
+        # appends are idempotent on (conv_id, turn_idx)) so a fresh
+        # checkpoint over a legacy warehouse doesn't silently drop batches
+        # until its epoch exceeds the old high-water mark; the commit below
+        # stamps stream_run, self-healing the warehouse
+        same_run = run_id is None or (
+            "stream_run" in meta and int(meta["stream_run"]) == run_id
+        )
         if same_run and int(meta.get("stream_epoch", -1)) >= epoch:
             return 0  # fully committed epoch replayed by the checkpoint
     shard_size = int(meta["shard_size"])

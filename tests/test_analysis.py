@@ -709,3 +709,28 @@ def test_stratified_sample_deterministic_and_growth_stable(spark):
     assert (
         salted.set_index("doc_id")["sampled"] != out["sampled"]
     ).any()
+
+
+def test_stratified_sample_rate_quantization_pinned(spark):
+    """VERDICT r4 #9: rates quantize to multiples of 1/SPLIT_BUCKETS — the
+    effective threshold of a rate is round(rate·SPLIT_BUCKETS) buckets, so
+    0.33333 behaves exactly as 0.3333 and sub-quantum rates (< 0.5e-4 at
+    the default 10_000) keep NOTHING."""
+    en = "the cat is on the mat and it is warm in the sun of an old day"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300), "text": [en] * 300}),
+        "doc_id long, text string",
+    )
+    q = 1.0 / textstats.SPLIT_BUCKETS
+    a = textstats.stratified_sample(docs, rates=(("en", 0.33333),)).toPandas()
+    b = textstats.stratified_sample(docs, rates=(("en", 0.3333),)).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    c = textstats.stratified_sample(docs, rates=(("en", 0.3334),)).toPandas()
+    # one quantum apart → thresholds differ by exactly one bucket
+    assert (c["sampled"] >= a["sampled"]).all()
+    # sub-quantum rate rounds to zero buckets: keeps nothing
+    z = textstats.stratified_sample(docs, rates=(("en", q / 3),)).toPandas()
+    assert z["sampled"].sum() == 0

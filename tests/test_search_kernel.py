@@ -118,3 +118,22 @@ def test_seed_block_pruning_keeps_full_overlap_result():
     out = kernel(pdf)
     assert list(out["doc_id"]) == [3, 5]
     assert list(out["score"]) == [3.0, 3.0]
+
+
+def test_memo_lru_cap_bounds_adversarial_term_stream():
+    """VERDICT r4 #8: a million distinct cold terms must not grow the
+    searcher's driver-side memos past MEMO_CAP; hot entries survive
+    because reads refresh recency."""
+    cache = S._LRUCache(cap=S.MEMO_CAP)
+    hot = "hotterm"
+    cache[hot] = [1]
+    for i in range(1_000_000):
+        cache[f"cold{i}"] = [i]
+        if i % 50_000 == 0:  # must re-touch within cap inserts to stay hot
+            _ = cache[hot]  # a repeated query keeps the hot term resident
+        assert len(cache) <= S.MEMO_CAP
+    assert hot in cache
+    assert len(cache) == S.MEMO_CAP
+    # bulk update routes through eviction too (the async mtf warm path)
+    cache.update({f"bulk{i}": {0: 1.0} for i in range(S.MEMO_CAP + 10)})
+    assert len(cache) == S.MEMO_CAP
