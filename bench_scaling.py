@@ -122,14 +122,22 @@ def main() -> None:
 
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = (tp32 / tp8) / (hi / lo)
-    # Per-child host-speed sentinels (single-core pinned job): the hi/lo time
-    # ratio is the relative host throttle between the two runs. If the 4N
-    # child ran on a box f× slower than the N child's, its quiet-box
-    # throughput would be ~f× higher, so eff_drift_adj = eff_raw · f. Old
-    # result JSONs (pre-r4) lack the field → adj falls back to raw.
+    # Per-child host-speed sentinels: the hi/lo time ratio is the relative
+    # host throttle between the two runs. If the 4N child ran on a box f×
+    # slower than the N child's, its quiet-box throughput would be ~f×
+    # higher, so eff_drift_adj = eff_raw · f. r5 adds a PARALLEL pinned
+    # sentinel (4 simultaneous subprocesses of a fixed bandwidth-bound
+    # workload, independent of local[N]) — it sees the shared-bus capacity
+    # a 1-thread probe misses, so it is preferred for the drift gate; the
+    # serial sentinel stays for continuity. Old result JSONs lack the
+    # fields → fall back gracefully.
     sent_lo = r8.get("sentinel_s")
     sent_hi = r32.get("sentinel_s")
-    pair_drift = round(sent_hi / sent_lo, 3) if sent_lo and sent_hi else None
+    serial_drift = round(sent_hi / sent_lo, 3) if sent_lo and sent_hi else None
+    par_lo = r8.get("sentinel_par4_s")
+    par_hi = r32.get("sentinel_par4_s")
+    par_drift = round(par_hi / par_lo, 3) if par_lo and par_hi else None
+    pair_drift = par_drift if par_drift is not None else serial_drift
     eff_adj = round(eff * pair_drift, 3) if pair_drift else None
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -150,9 +158,12 @@ levels — the sandbox substitution for N vs 4N executors (BASELINE.md).
 
 **Scaling efficiency (N→4N) = (tp_4N/tp_N)/4 = {eff:.3f}** (target ≥ 0.8)
 
-Per-child host sentinel (pinned 1-core job): N {r8.get('sentinel_s', 'n/a')} s,
-4N {r32.get('sentinel_s', 'n/a')} s → pair drift {pair_drift} (4N-child host
-slower by this factor); **drift-adjusted efficiency = {eff_adj}**.
+Per-child host sentinels — serial (pinned 1-core range-sum):
+N {r8.get('sentinel_s', 'n/a')} s, 4N {r32.get('sentinel_s', 'n/a')} s
+(ratio {serial_drift}); PARALLEL (pinned 4-process bandwidth-bound probe,
+independent of local[N] — the drift gate): N {par_lo or 'n/a'} s,
+4N {par_hi or 'n/a'} s → pair drift {pair_drift};
+**drift-adjusted efficiency = {eff_adj}**.
 
 Stage breakdown (seconds): N cores {json.dumps(r8['stage_seconds'])}; 4N
 cores {json.dumps(r32['stage_seconds'])}.
@@ -178,6 +189,7 @@ Raw child outputs:
     print(json.dumps({
         "efficiency": round(eff, 3),
         "pair_drift": pair_drift,
+        "pair_drift_serial": serial_drift,
         "efficiency_drift_adjusted": eff_adj,
         "turns_per_sec_8": tp8,
         "turns_per_sec_32": tp32,

@@ -32,6 +32,34 @@ def _sentinel(spark) -> float:
     return statistics.median(samples)
 
 
+def _par_sentinel() -> float | None:
+    """Pinned PARALLEL host probe (median of 3 after warmup): 4 simultaneous
+    subprocesses of calibrate_box.py's fixed bandwidth-bound workload —
+    independent of this child's local[N], so the cross-child ratio measures
+    the box's MULTI-CORE capacity drift, the resource a 1-thread probe
+    misses (round 4 showed single-thread sentinels over-correct a 32-way
+    pipeline under burst throttle)."""
+    import os
+    import subprocess
+
+    cal = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "calibrate_box.py")
+    if not os.path.exists(cal):
+        return None
+    try:
+        samples = []
+        for i in range(4):
+            out = subprocess.run(
+                [sys.executable, cal, "--one", "4"],
+                capture_output=True, text=True, timeout=300, check=True,
+            )
+            if i:  # drop the cold first run
+                samples.append(float(out.stdout.strip()))
+        return statistics.median(samples)
+    except Exception:
+        return None
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     fixture_parquet = sys.argv[2]
@@ -63,10 +91,12 @@ def main() -> None:
     eng = SearchEngine(spark, warehouse, cfg)
 
     sent_pre = _sentinel(spark)
+    par_pre = _par_sentinel()
     if skip_build:
         out = {
             "cores": cores,
             "sentinel_s": round(sent_pre, 4),
+            "sentinel_par4_s": round(par_pre, 4) if par_pre else None,
             "skip_build": True,
         }
     else:
@@ -74,12 +104,19 @@ def main() -> None:
         res = eng.build(transcripts, resume=False)
         build_s = time.time() - t0
         sent_post = _sentinel(spark)
+        par_post = _par_sentinel()
+        par_both = [p for p in (par_pre, par_post) if p]
 
         out = {
             "cores": cores,
             "sentinel_s": round(statistics.median([sent_pre, sent_post]), 4),
             "sentinel_pre_s": round(sent_pre, 4),
             "sentinel_post_s": round(sent_post, 4),
+            "sentinel_par4_s": (
+                round(statistics.median(par_both), 4) if par_both else None
+            ),
+            "sentinel_par4_pre_s": round(par_pre, 4) if par_pre else None,
+            "sentinel_par4_post_s": round(par_post, 4) if par_post else None,
             "n_docs": res.n_docs,
             "build_seconds": round(build_s, 2),
             "turns_per_sec": round(res.n_docs / build_s, 2),
