@@ -103,6 +103,119 @@ def run_child(cores: int, fixture_path: str, zip_path: str, queries: bool) -> di
     return res
 
 
+def run_children_concurrent(
+    cores: int, n: int, fixture_path: str, zip_path: str
+) -> list[dict]:
+    """n SIMULTANEOUS, fully independent local[cores] children.
+
+    Zero coordination between them (separate JVMs, separate warehouses,
+    same read-only fixture): whatever efficiency they achieve versus n×
+    a lone child is the BOX's own capacity for n copies of this exact
+    workload — an upper bound on any engine's n-way scaling here.
+    """
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", f"{2 * cores}g")
+    procs = []
+    for i in range(n):
+        wh = tempfile.mkdtemp(prefix=f"se_bench_quad{i}_")
+        out_json = os.path.join(wh, "result.json")
+        cmd = [
+            spark_submit,
+            "--master", f"local[{cores}]",
+            "--driver-memory", mem,
+            "--py-files", zip_path,
+            os.path.join(REPO, "scripts", "bench_build.py"),
+            str(cores), fixture_path, wh, out_json,
+        ]
+        procs.append((
+            subprocess.Popen(
+                cmd, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+                env={**os.environ, "SPARK_MASTER": f"local[{cores}]"},
+            ),
+            wh, out_json,
+        ))
+    print(f"→ {n} simultaneous local[{cores}] children", flush=True)
+    results = []
+    for p, wh, out_json in procs:
+        out, err = p.communicate(timeout=5400)
+        if p.returncode != 0 or not os.path.exists(out_json):
+            sys.stderr.write(out[-2000:] + "\n" + err[-4000:])
+            raise RuntimeError("concurrent child failed")
+        with open(out_json) as f:
+            results.append(json.load(f))
+        shutil.rmtree(wh, ignore_errors=True)
+    return results
+
+
+def quad_ceiling(fixture: str, fixture_path: str, zip_path: str) -> None:
+    """Box-ceiling experiment (round-5 scaling evidence).
+
+    Phase 1: one lone local[1] build (tp_single).
+    Phase 2: four simultaneous, fully-independent local[1] builds of the
+    same fixture (aggregate throughput Σ tp_i while all four run).
+
+    box_ceiling_eff = Σtp_quad / (4 · tp_single). No shuffle, no shared
+    JVM, no engine coordination exists between the four copies, so this
+    ratio is what the BOX can deliver for 4× this workload — the ceiling
+    any 1→4-core measurement of the engine (which DOES coordinate) can
+    reach. Engine-relative efficiency = eff_pair / box_ceiling_eff.
+    """
+    single = run_child(1, fixture_path, zip_path, queries=False)
+    quad = run_children_concurrent(1, 4, fixture_path, zip_path)
+    tp1 = single["turns_per_sec"]
+    tps = sorted(r["turns_per_sec"] for r in quad)
+    agg = round(sum(tps), 2)
+    ceiling = round(agg / (4 * tp1), 3)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# Box-ceiling experiment: 4 independent single-core builds
+
+Phase 1 — lone `local[1]` build of `{fixture}`:
+**{tp1} turns/s** (build {single['build_seconds']} s; par4 sentinel
+pre/post {single.get('sentinel_par4_pre_s')}/{single.get('sentinel_par4_post_s')} s).
+
+Phase 2 — FOUR simultaneous, fully-independent `local[1]` builds of the
+same fixture (separate JVMs/warehouses, zero coordination, started
+together; run immediately after phase 1):
+
+| child | build s | turns/s |
+|---|---|---|
+""" + "\n".join(
+        f"| {i} | {r['build_seconds']} | {r['turns_per_sec']} |"
+        for i, r in enumerate(quad)
+    ) + f"""
+
+Aggregate throughput while all four ran: **{agg} turns/s**.
+
+**box_ceiling_eff = Σtp_quad / (4 · tp_single) = {ceiling}**
+
+There is no shuffle, no shared state, and no engine coordination between
+the four phase-2 copies — the only shared resources are the host's memory
+bus, LLC, and disk. This ratio is therefore the box's OWN capacity for 4×
+this exact workload, and an upper bound on any 1→4-core scaling
+efficiency measurable for it here. (Quad-phase per-child sentinels time a
+16-way probe storm and are not comparable to lone-child sentinels.)
+
+Raw child outputs:
+
+```json
+{json.dumps({'single': single, 'quad': quad}, indent=2)}
+```
+"""
+    out_md = os.path.join(REPO, "BENCH", f"RUN_quad_ceiling_{fixture}.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "tp_single": tp1,
+        "tp_quad_children": tps,
+        "tp_quad_aggregate": agg,
+        "box_ceiling_eff": ceiling,
+        "report": out_md,
+    }))
+
+
 def main() -> None:
     fixture = "bench"
     if "--fixture" in sys.argv:
@@ -116,6 +229,10 @@ def main() -> None:
         lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cores") + 1].split(","))
     fixture_path = ensure_fixture(fixture)
     zip_path = make_zip()
+
+    if "--quad" in sys.argv:
+        quad_ceiling(fixture, fixture_path, zip_path)
+        return
 
     r8 = run_child(lo, fixture_path, zip_path, queries=False)
     r32 = run_child(hi, fixture_path, zip_path, queries=True)
