@@ -68,7 +68,13 @@ def make_zip() -> str:
     return zpath
 
 
-def run_child(cores: int, fixture_path: str, zip_path: str, queries: bool) -> dict:
+def run_child(
+    cores: int,
+    fixture_path: str,
+    zip_path: str,
+    queries: bool,
+    cluster_url: str | None = None,
+) -> dict:
     wh = tempfile.mkdtemp(prefix=f"se_bench_wh{cores}_")
     out_json = os.path.join(wh, "result.json")
     spark_submit = shutil.which("spark-submit") or os.path.join(
@@ -79,19 +85,43 @@ def run_child(cores: int, fixture_path: str, zip_path: str, queries: bool) -> di
     # otherwise per-task memory shrinks with "cluster size" and the
     # comparison measures GC pressure, not scaling
     mem = os.environ.get("SPARK_DRIVER_MEMORY", f"{2 * cores}g")
-    cmd = [
-        spark_submit,
-        "--master", f"local[{cores}]",
-        "--driver-memory", mem,
-        "--py-files", zip_path,
-        os.path.join(REPO, "scripts", "bench_build.py"),
-        str(cores), fixture_path, wh, out_json,
-    ] + (["--queries"] if queries else [])
-    print(f"→ local[{cores}]: {' '.join(cmd[-6:])}", flush=True)
+    if cluster_url:
+        # REAL multi-executor run (round 5): <cores> single-core 2 GiB
+        # executor JVMs on a localhost standalone cluster — the faithful
+        # shape of the north rule's "N and 4N executors" (each executor is
+        # its own JVM with its own heap/GC, shuffle crosses process
+        # boundaries); the driver gets a fixed 4g on both sides so only
+        # the executor count varies across the pair
+        master = cluster_url
+        cmd = [
+            spark_submit,
+            "--master", cluster_url,
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"),
+            "--executor-cores", "1",
+            "--executor-memory", "2g",
+            "--total-executor-cores", str(cores),
+            "--py-files", zip_path,
+            os.path.join(REPO, "scripts", "bench_build.py"),
+            str(cores), fixture_path, wh, out_json,
+        ] + (["--queries"] if queries else [])
+        print(f"→ {cores} executors @ {cluster_url}: "
+              f"{' '.join(cmd[-6:])}", flush=True)
+    else:
+        master = f"local[{cores}]"
+        cmd = [
+            spark_submit,
+            "--master", master,
+            "--driver-memory", mem,
+            "--py-files", zip_path,
+            os.path.join(REPO, "scripts", "bench_build.py"),
+            str(cores), fixture_path, wh, out_json,
+        ] + (["--queries"] if queries else [])
+        print(f"→ local[{cores}]: {' '.join(cmd[-6:])}", flush=True)
     t0 = time.time()
     proc = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "SPARK_MASTER": f"local[{cores}]"},
+        env={**os.environ, "SPARK_MASTER": master,
+             "PYSPARK_PYTHON": sys.executable},
     )
     if proc.returncode != 0 or not os.path.exists(out_json):
         sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-5000:])
@@ -216,6 +246,38 @@ Raw child outputs:
     }))
 
 
+def ensure_cluster(worker_cores: int) -> str:
+    """Start (or reuse) a localhost standalone master + worker.
+
+    Returns the master URL. The worker offers ``worker_cores`` cores and
+    2 GiB per core + 4 GiB slack, so a --total-executor-cores pair up to
+    that size schedules immediately. Reused if port 7077 already answers.
+    """
+    import socket
+
+    url = "spark://127.0.0.1:7077"
+    with socket.socket() as s:
+        s.settimeout(1.0)
+        if s.connect_ex(("127.0.0.1", 7077)) == 0:
+            return url
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    env = {**os.environ, "SPARK_HOME": spark_home}
+    subprocess.run(
+        [os.path.join(spark_home, "sbin", "start-master.sh"),
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8089"],
+        check=True, env=env, capture_output=True, text=True,
+    )
+    time.sleep(6)
+    subprocess.run(
+        [os.path.join(spark_home, "sbin", "start-worker.sh"),
+         url, "--host", "127.0.0.1", "--cores", str(worker_cores),
+         "--memory", f"{2 * worker_cores + 4}g", "--webui-port", "8090"],
+        check=True, env=env, capture_output=True, text=True,
+    )
+    time.sleep(6)
+    return url
+
+
 def main() -> None:
     fixture = "bench"
     if "--fixture" in sys.argv:
@@ -234,8 +296,14 @@ def main() -> None:
         quad_ceiling(fixture, fixture_path, zip_path)
         return
 
-    r8 = run_child(lo, fixture_path, zip_path, queries=False)
-    r32 = run_child(hi, fixture_path, zip_path, queries=True)
+    cluster_url = None
+    if "--cluster" in sys.argv:
+        cluster_url = ensure_cluster(max(lo, hi))
+
+    r8 = run_child(lo, fixture_path, zip_path, queries=False,
+                   cluster_url=cluster_url)
+    r32 = run_child(hi, fixture_path, zip_path, queries=True,
+                    cluster_url=cluster_url)
 
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = (tp32 / tp8) / (hi / lo)
@@ -298,12 +366,21 @@ Raw child outputs:
 {json.dumps({'cores8': r8, 'cores32': r32}, indent=2)}
 ```
 """
+    if cluster_url:
+        md = md.replace(
+            "two parallelism\nlevels — the sandbox substitution for",
+            "a REAL localhost standalone cluster —\nsingle-core 2 GiB "
+            "executor JVMs, real cross-process shuffle — at two\n"
+            "executor counts, the faithful shape of",
+        )
     # BASELINE.md is the curated analysis (multiple pairs + saturation
     # context); raw per-run reports go to their own file
-    out_md = os.path.join(REPO, "BENCH", f"RUN_{lo}v{hi}_{fixture}.md")
+    suffix = "_cluster" if cluster_url else ""
+    out_md = os.path.join(REPO, "BENCH", f"RUN_{lo}v{hi}_{fixture}{suffix}.md")
     with open(out_md, "w") as f:
         f.write(md)
     print(json.dumps({
+        "cluster": bool(cluster_url),
         "efficiency": round(eff, 3),
         "pair_drift": pair_drift,
         "pair_drift_serial": serial_drift,

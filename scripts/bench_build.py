@@ -78,9 +78,12 @@ def main() -> None:
 
     import os
 
+    # SPARK_MASTER may point at a real cluster (spark://...) — the round-5
+    # standalone-cluster pair, where <cores> counts single-core executor
+    # JVMs instead of local-mode threads; default stays local[cores]
     spark = get_spark(
         app_name=f"bench_build_{cores}",
-        master=f"local[{cores}]",
+        master=os.environ.get("SPARK_MASTER", f"local[{cores}]"),
         shuffle_partitions=cores,
     )
     transcripts = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(fixture_parquet)
