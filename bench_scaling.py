@@ -278,10 +278,79 @@ def ensure_cluster(worker_cores: int) -> str:
     return url
 
 
+def run_sequence(
+    seq: list[int], fixture: str, fixture_path: str, zip_path: str,
+    cluster_url: str | None, tag: str,
+) -> None:
+    """Back-to-back children in the given core order (e.g. 1,4,4,1 — an
+    ABBA block: the forward pair from positions 0-1, the reverse pair from
+    2-3; the geomean of an order-flipped pair cancels first-order host
+    drift, and medians over all children of a size damp outliers)."""
+    results = []
+    for i, c in enumerate(seq):
+        print(f"--- seq child {i + 1}/{len(seq)}: {c} executors ---", flush=True)
+        r = run_child(c, fixture_path, zip_path, queries=False,
+                      cluster_url=cluster_url)
+        r["seq_pos"] = i
+        results.append(r)
+        print(json.dumps({k: r.get(k) for k in (
+            "cores", "build_seconds", "turns_per_sec",
+            "sentinel_par4_s", "parallelism")}), flush=True)
+
+    by_cores: dict[int, list[float]] = {}
+    for r in results:
+        by_cores.setdefault(r["cores"], []).append(r["turns_per_sec"])
+    import statistics as st
+    med = {c: st.median(v) for c, v in by_cores.items()}
+    lo, hi = min(med), max(med)
+    eff_med = (med[hi] / med[lo]) / (hi / lo)
+    # adjacent lo→hi / hi→lo pairs + their geomean
+    pairs = []
+    for a, b in zip(results, results[1:]):
+        ca, cb = a["cores"], b["cores"]
+        if ca != cb:
+            e = (b["turns_per_sec"] / a["turns_per_sec"]) / (cb / ca)
+            if cb < ca:
+                e = 1.0 / e
+            pairs.append({"order": f"{ca}->{cb}", "eff": round(e, 3)})
+    geo = None
+    if pairs:
+        p = 1.0
+        for x in pairs:
+            p *= x["eff"]
+        geo = round(p ** (1.0 / len(pairs)), 3)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out = {
+        "fixture": fixture,
+        "cluster": bool(cluster_url),
+        "tasks_per_slot": os.environ.get("SE_TASKS_PER_SLOT"),
+        "docs_per_shard": os.environ.get("SE_DOCS_PER_SHARD"),
+        "sequence": seq,
+        "median_tp": {str(c): round(v, 2) for c, v in med.items()},
+        "efficiency_of_medians": round(eff_med, 3),
+        "adjacent_pairs": pairs,
+        "pairs_geomean": geo,
+        "children": results,
+    }
+    out_path = os.path.join(REPO, "BENCH", f"SEQ_{fixture}_{tag}.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "median_tp", "efficiency_of_medians", "adjacent_pairs",
+        "pairs_geomean")}) + f"\nreport: {out_path}", flush=True)
+
+
 def main() -> None:
     fixture = "bench"
     if "--fixture" in sys.argv:
         fixture = sys.argv[sys.argv.index("--fixture") + 1]
+    if "--tasks-per-slot" in sys.argv:
+        os.environ["SE_TASKS_PER_SLOT"] = (
+            sys.argv[sys.argv.index("--tasks-per-slot") + 1])
+    if "--docs-per-shard" in sys.argv:
+        os.environ["SE_DOCS_PER_SHARD"] = (
+            sys.argv[sys.argv.index("--docs-per-shard") + 1])
     # N=1 vs 4N=4 is the headline pair: it stays below this box's ~8-10-core
     # memory/disk saturation knee (BENCH/BASELINE.md), so it estimates the
     # real N→4N executor scale-up where each executor brings its own
@@ -294,6 +363,17 @@ def main() -> None:
 
     if "--quad" in sys.argv:
         quad_ceiling(fixture, fixture_path, zip_path)
+        return
+
+    if "--seq" in sys.argv:
+        seq = [int(x) for x in
+               sys.argv[sys.argv.index("--seq") + 1].split(",")]
+        tag = "cluster" if "--cluster" in sys.argv else "local"
+        if "--tag" in sys.argv:
+            tag = sys.argv[sys.argv.index("--tag") + 1]
+        cluster_url = (ensure_cluster(max(seq))
+                       if "--cluster" in sys.argv else None)
+        run_sequence(seq, fixture, fixture_path, zip_path, cluster_url, tag)
         return
 
     cluster_url = None

@@ -80,15 +80,29 @@ def main() -> None:
 
     # SPARK_MASTER may point at a real cluster (spark://...) — the round-5
     # standalone-cluster pair, where <cores> counts single-core executor
-    # JVMs instead of local-mode threads; default stays local[cores]
+    # JVMs instead of local-mode threads; default stays local[cores].
+    #
+    # SE_TASKS_PER_SLOT: tasks per executor slot (Spark's standard cluster
+    # sizing is 2-3 tasks/core so faster executors steal work and a straggler
+    # costs a task, not a stage — with 1 task/slot a 4-executor stage has
+    # ZERO rebalance slack and any one executor's jitter is a full-stage
+    # tail). Default 1 preserves comparability with earlier recorded runs.
+    tasks_per_slot = int(os.environ.get("SE_TASKS_PER_SLOT", "1"))
+    par = cores * tasks_per_slot
     spark = get_spark(
         app_name=f"bench_build_{cores}",
         master=os.environ.get("SPARK_MASTER", f"local[{cores}]"),
-        shuffle_partitions=cores,
+        shuffle_partitions=par,
     )
     transcripts = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(fixture_parquet)
+    # SE_DOCS_PER_SHARD pins the index geometry (shard count is a property
+    # of the DATA on a real deployment, not of the cluster size) so the N-
+    # and 4N-executor children build byte-identical indexes and differ only
+    # in compute resources; unset → per-child derived geometry (pre-r5).
+    dps = os.environ.get("SE_DOCS_PER_SHARD")
     cfg = EngineConfig(
-        parallelism=cores,
+        parallelism=par,
+        docs_per_shard=int(dps) if dps else None,
         broadcast_ids_max=int(os.environ.get("SE_BCAST_MAX", 20_000_000)),
     )
     eng = SearchEngine(spark, warehouse, cfg)
@@ -112,6 +126,8 @@ def main() -> None:
 
         out = {
             "cores": cores,
+            "parallelism": par,
+            "docs_per_shard": int(dps) if dps else None,
             "sentinel_s": round(statistics.median([sent_pre, sent_post]), 4),
             "sentinel_pre_s": round(sent_pre, 4),
             "sentinel_post_s": round(sent_post, 4),
