@@ -387,6 +387,12 @@ def main() -> None:
 
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = (tp32 / tp8) / (hi / lo)
+    # canonicalize: a reversed invocation (--cores 4,1) measures the
+    # downscale ratio, whose N→4N upscale efficiency is the reciprocal —
+    # report THAT, so forward and reverse runs print comparable numbers
+    # (RUN_4v1_bench4_cluster.md predates this and carries an erratum)
+    if lo > hi:
+        eff = 1.0 / eff
     # Per-child host-speed sentinels: the hi/lo time ratio is the relative
     # host throttle between the two runs. If the 4N child ran on a box f×
     # slower than the N child's, its quiet-box throughput would be ~f×
@@ -403,7 +409,14 @@ def main() -> None:
     par_hi = r32.get("sentinel_par4_s")
     par_drift = round(par_hi / par_lo, 3) if par_lo and par_hi else None
     pair_drift = par_drift if par_drift is not None else serial_drift
-    eff_adj = round(eff * pair_drift, 3) if pair_drift else None
+    # drift d = sentinel(second child)/sentinel(first): the SECOND child's
+    # box slowness. Correcting the second child's tp by d moves the upscale
+    # efficiency UP when the second child is the 4N side (forward order)
+    # and DOWN when it is the N side (reversed order, eff inverted above).
+    eff_adj = None
+    if pair_drift:
+        eff_adj = round(
+            eff / pair_drift if lo > hi else eff * pair_drift, 3)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lat = r32.get("query_latency", {})
