@@ -212,10 +212,19 @@ def build_index(
         )
         # broadcast the id map when it fits (≈30 B/doc → tens of millions of
         # docs): the 30×-larger posting-row side then never shuffles for the
-        # join. Past that, fall back to a shuffle join — at 10^12 docs
-        # nothing else is possible and the SMJ shuffle is the price of dense
-        # global ids.
-        id_side = F.broadcast(ids) if n_ids <= cfg.broadcast_ids_max else ids
+        # join. Past that, PIN sort-merge — at 10^12 docs nothing else is
+        # possible and the SMJ shuffle is the price of dense global ids.
+        # The explicit merge hint matters: size ESTIMATES (compressed
+        # shuffle/parquet bytes) for a doc-cardinality side can dip under
+        # autoBroadcastJoinThreshold even when the deserialized hash
+        # relation is ~100 B/row — at 16M docs that's a ~1.5 GB build on
+        # every executor, an OOM on small-heap executors (observed: 4×2 GiB
+        # executors died in UnsafeHashedRelation.read on the 15.5M-doc
+        # fixture before this hint existed).
+        if n_ids <= cfg.broadcast_ids_max:
+            id_side = F.broadcast(ids)
+        else:
+            id_side = ids.hint("merge")
         joined = rows.join(id_side, ["conv_id", "turn_idx"])
         # physical layout for incremental upserts (M1): postings_flat is
         # PARTITIONED by (term-hash bucket, doc-range group) — an upsert
@@ -247,6 +256,12 @@ def build_index(
             .filter(F.col("bucket") == MARKER_BUCKET)
             .select("doc_id", "doc_len")
         )
+        # markers is doc-cardinality too, but its STATIC size estimate is
+        # the pruned marker directory's parquet bytes — sorted int64 pairs
+        # compress so well that 15M docs still looked broadcastable to the
+        # planner; pin sort-merge above the same gate as the id join.
+        if n_ids > cfg.broadcast_ids_max:
+            markers = markers.hint("merge")
         docs = (
             ids.withColumn("site", F.split("conv_id", "-").getItem(0))
             .join(markers, "doc_id", "left")

@@ -55,6 +55,7 @@ FIXTURE_SIZES = {
     "small": (3, 2000, 25),
     "bench": (3, 40000, 25),
     "bench4": (3, 160000, 25),  # ~4M turns — scaling-efficiency runs
+    "bench16": (3, 640000, 25),  # ~16M turns — data-scaling (4× bench4)
 }
 
 _CONSONANTS = list("bcdfghjklmnpqrtvwz")  # no 's' → no stems ending in s

@@ -106,3 +106,39 @@ def test_wand_pruned_equals_exact(engine):
     assert list(exact_page["doc_id"]) == list(pruned_page["doc_id"])
     np.testing.assert_allclose(exact_page["score"], pruned_page["score"], rtol=1e-9)
     assert pruned_count <= exact_count
+
+
+def test_smj_id_join_path_matches_broadcast_path(spark, tiny_pdf, engine):
+    """broadcast_ids_max=0 forces the >gate sort-merge path for BOTH
+    doc-cardinality joins in stage_documents (id map ⋈ posting rows,
+    ids ⋈ doc_len markers). The 10^12-doc plan must produce tables
+    identical to the broadcast plan's — this is the branch a small-scale
+    build never runs (and where a 15.5M-doc cluster build OOM'd when the
+    planner broadcast a compressed-size-underestimated side)."""
+    import shutil
+    import tempfile
+
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.engine import SearchEngine
+
+    wh = tempfile.mkdtemp(prefix="se_wh_smj_")
+    try:
+        eng = SearchEngine(
+            spark, wh, EngineConfig(docs_per_shard=256, broadcast_ids_max=0)
+        )
+        eng.build(transcripts_spark_df(spark, tiny_pdf))
+        for table in ("documents", "postings"):
+            cols = sorted(engine.catalog.read(table).columns)
+            exp = (
+                engine.catalog.read(table)
+                .select(*cols).toPandas()
+                .sort_values(cols).reset_index(drop=True)
+            )
+            got = (
+                eng.catalog.read(table)
+                .select(*cols).toPandas()
+                .sort_values(cols).reset_index(drop=True)
+            )
+            assert got.equals(exp), f"{table} diverges on the SMJ path"
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
