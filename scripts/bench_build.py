@@ -100,10 +100,18 @@ def main() -> None:
     # and 4N-executor children build byte-identical indexes and differ only
     # in compute resources; unset → per-child derived geometry (pre-r5).
     dps = os.environ.get("SE_DOCS_PER_SHARD")
+    # broadcast gate follows the engine default unless explicitly
+    # overridden: the old pinned 20M here bypassed config.py's 4M
+    # OOM-safety gate and broadcast a ~1.5 GB hash relation into 2 GiB
+    # executors on the 15.5M-doc fixture (bench4 at 3.9M docs broadcasts
+    # either way, so recorded pairs stay comparable)
+    extra = {}
+    if "SE_BCAST_MAX" in os.environ:
+        extra["broadcast_ids_max"] = int(os.environ["SE_BCAST_MAX"])
     cfg = EngineConfig(
         parallelism=par,
         docs_per_shard=int(dps) if dps else None,
-        broadcast_ids_max=int(os.environ.get("SE_BCAST_MAX", 20_000_000)),
+        **extra,
     )
     eng = SearchEngine(spark, warehouse, cfg)
 
