@@ -507,6 +507,61 @@ def q_sessions(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# S2/T8: link extraction → URL frontier over a deterministic page corpus
+# ---------------------------------------------------------------------------
+# One SQL dialect shared verbatim by Spark (F.expr) and DuckDB: the page
+# corpus is synthesized per document — site = source, page /site/doc<id>,
+# and ten anchors covering every branch of the reference's
+# findUrls/checkLink/matchUrls (PageIndexer.java:169-222): plain kept,
+# .html kept, .php+params kept, absolute-same-domain kept, foreign-domain
+# rejected, shallower-depth rejected, escaped-space rejected after decode,
+# escaped-cyrillic kept (RU regex), self rejected, shared hub deduplicated.
+_LNK_SITE = "source"
+_LNK_DID = "cast(doc_id as string)"
+_LNK_DOMAIN = f"'https://' || {_LNK_SITE} || '.example.com'"
+_LNK_PATH = f"'/' || {_LNK_SITE} || '/doc' || {_LNK_DID}"
+_LNK_HTML = (
+    "'<html><body>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/doc' || cast(doc_id + 1 as string) || '\">n</a>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/page' || {_LNK_DID} || '.html\">h</a>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/q' || {_LNK_DID} || '.php?k=v' || {_LNK_DID} || '\">p</a>'"
+    f" || '<a href=\"' || {_LNK_DOMAIN} || '/' || {_LNK_SITE} || '/abs' || {_LNK_DID} || '\">a</a>'"
+    f" || '<a href=\"https://other.example.org/x' || {_LNK_DID} || '\">f</a>'"
+    f" || '<a href=\"/up' || {_LNK_DID} || '\">u</a>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/sp%20ace' || {_LNK_DID} || '\">s</a>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/%D0%BF' || {_LNK_DID} || '\">c</a>'"
+    f" || '<a href=\"/' || {_LNK_SITE} || '/doc' || {_LNK_DID} || '\">self</a>'"
+    " || '<a href=\"/shared/hub\">hub</a>'"
+    " || '</body></html>'"
+)
+
+
+def q_link_frontier(spark, sf_dir):
+    """S2+T8: href harvest → URL decode → site-regex cascade → depth rule →
+    frontier dedup (minus known pages), reference-exact semantics."""
+    from searchengine_spark.functions.links import extract_frontier
+
+    pages = _documents(spark, sf_dir).select(
+        F.expr(_LNK_SITE).alias("site"),
+        F.expr(_LNK_DOMAIN).alias("domain"),
+        F.expr(_LNK_PATH).alias("path"),
+        F.expr(_LNK_HTML).alias("html"),
+    )
+    return extract_frontier(pages)
+
+
+def q_url_decode(spark, sf_dir):
+    """T8 standalone: percent/plus URL decoding (URLDecoder.decode analog,
+    PageIndexer.java:195-202) — Spark's url_decode IS java.net.URLDecoder."""
+    href = F.expr(
+        f"'/a+b/sp%20ace' || {_LNK_DID} || '/%D0%BF%D0%B0%2Fv%3D1'"
+    )
+    return _documents(spark, sf_dir).select(
+        "doc_id", href.alias("href"), F.url_decode(href).alias("decoded")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_eligible": q_eligible,
@@ -549,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_summary": q_filter_summary,
         "q_event_windows": q_event_windows,
         "q_sessions": q_sessions,
+        "q_link_frontier": q_link_frontier,
+        "q_url_decode": q_url_decode,
     }
 
 
@@ -1394,5 +1451,67 @@ r as (
 )
 select group_id, doc_id as keep_doc_id, cast(group_size as bigint) as group_size
 from r where rn = 1
+"""
+
+    # S2/T8 frontier: the oracle replays decode → anchored-regex cascade →
+    # depth rule → dedup-minus-known in DuckDB. The decode is a chained
+    # replace over the corpus's pinned escape vocabulary (%20, %D0%BF) —
+    # DuckDB 1.0 has no url_decode; the vocabulary is fixed by _LNK_HTML.
+    from searchengine_spark.functions.links import HREF_PATTERN, site_link_patterns
+
+    lnk_href = HREF_PATTERN.replace("'", "''")
+    lnk_match = " or ".join(
+        f"regexp_matches(rel, '{p}')" for p in site_link_patterns("")
+    )
+    sqls["q_link_frontier"] = f"""
+with pages as (
+  select {_LNK_SITE} as site, {_LNK_DOMAIN} as domain,
+         {_LNK_PATH} as path, {_LNK_HTML} as html
+  from documents
+),
+hrefs as (
+  select site, domain, path,
+         unnest(regexp_extract_all(html, '{lnk_href}', 1)) as href
+  from pages
+),
+decoded as (
+  select site, domain, path,
+         case when contains(href, '%')
+              then replace(replace(href, '%20', ' '), '%D0%BF', 'п')
+              else href end as dhref
+  from hrefs
+),
+rels as (
+  select site, path,
+         case when dhref not like 'http%' then dhref
+              when strpos(dhref, domain) > 0
+                then substr(dhref, strpos(dhref, domain) + length(domain))
+              else '' end as rel
+  from decoded
+),
+matched as (
+  select site, path,
+         case when {lnk_match} then rel else '' end as link
+  from rels
+),
+kept as (
+  select distinct site, link as path
+  from matched
+  where link <> path
+    and length(link) - length(replace(link, '/', ''))
+        >= length(path) - length(replace(path, '/', ''))
+)
+select k.site, k.path from kept k
+where not exists (select 1 from pages p
+                  where p.site = k.site and p.path = k.path)
+"""
+    sqls["q_url_decode"] = f"""
+select doc_id,
+       '/a+b/sp%20ace' || {_LNK_DID} || '/%D0%BF%D0%B0%2Fv%3D1' as href,
+       replace(replace(replace(replace(replace(replace(
+         '/a+b/sp%20ace' || {_LNK_DID} || '/%D0%BF%D0%B0%2Fv%3D1',
+         '%20', ' '), '%D0%BF', 'п'), '%D0%B0', 'а'),
+         '%2F', '/'), '%3D', '='), '+', ' ') as decoded
+from documents
 """
     return sqls

@@ -1,0 +1,137 @@
+"""S2/T8 link extraction + frontier (functions/links.py) vs a pure-Python
+oracle that re-implements the reference's findUrls/checkLink/matchUrls
+(PageIndexer.java:169-222) with java-compatible regex semantics (Python `re`
+and java.util.regex agree on these patterns — both backtracking engines,
+same character-class / anchoring semantics, ASCII `\\w`)."""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote
+
+import pytest
+
+from searchengine_spark.functions.links import (
+    extract_frontier,
+    link_candidates,
+    site_link_patterns,
+)
+
+PAGES = [
+    # (site, domain, path, html)
+    (
+        "s0",
+        "https://s0.example.com",
+        "/s0/doc1",
+        '<html><body>'
+        '<a href="/s0/doc2">plain kept</a>'
+        '<a href="/s0/page1.html">html kept</a>'
+        '<a href="/s0/q1.php?k=v1&x=y2">php+params kept</a>'
+        '<a href="https://s0.example.com/s0/abs1">absolute same-domain kept</a>'
+        '<a href="https://other.example.org/x1">foreign rejected</a>'
+        '<a href="/up1">shallower rejected</a>'
+        '<a href="/s0/sp%20ace1">decodes to space, rejected</a>'
+        '<a href="/s0/%D0%BF1">cyrillic escape kept</a>'
+        '<a href="/s0/doc1">self rejected</a>'
+        '<a href="/shared/hub">hub</a>'
+        '<a href="/b.html">root-level .html rejected (reference quirk)</a>'
+        "<a href='/s0/single2'>single-quoted kept</a>"
+        '<a href="mailto:x@y.z">mailto rejected</a>'
+        '<a href="/s0/trail1/">trailing slash kept</a>'
+        "</body></html>",
+    ),
+    (
+        "s0",
+        "https://s0.example.com",
+        "/s0/doc2",
+        '<a href="/s0/doc1">existing page, anti-joined away</a>'
+        '<a href="/shared/hub">hub again (dedup)</a>'
+        '<a href="/s0/%E2">bad escape: decode fails, raw %E2 rejected</a>',
+    ),
+    (
+        "s1",
+        "https://s1.example.com",
+        "/s1/doc1",
+        '<a href="/shared/hub">same path, other site: its own frontier row</a>'
+        '<a href="https://s0.example.com/s0/doc9">other site domain = foreign</a>',
+    ),
+]
+
+
+def oracle_frontier(pages):
+    """The reference algorithm, straight-line Python."""
+    pats = [re.compile(p) for p in site_link_patterns("")]
+    seen = {(s, p) for s, _, p, _ in pages}
+    out = set()
+    for site, domain, path, html in pages:
+        for href in re.findall(r"""<a\s[^>]*href=["']([^"']*)["']""", html):
+            if "%" in href:
+                try:
+                    dec = unquote(href, encoding="utf-8", errors="strict")
+                except Exception:
+                    dec = href
+            else:
+                dec = href
+            if dec.startswith("http"):
+                i = dec.find(domain)
+                rel = dec[i + len(domain):] if i >= 0 else ""
+            else:
+                rel = dec
+            link = rel if any(p.match(rel) for p in pats) else ""
+            if link != path and link.count("/") >= path.count("/"):
+                if (site, link) not in seen:
+                    out.add((site, link))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return spark.createDataFrame(PAGES, "site string, domain string, path string, html string")
+
+
+def test_frontier_matches_reference_oracle(spark, pages_df):
+    got = {(r.site, r.path) for r in extract_frontier(pages_df).collect()}
+    assert got == oracle_frontier(PAGES)
+
+
+def test_frontier_expected_rows(spark, pages_df):
+    got = {(r.site, r.path) for r in extract_frontier(pages_df).collect()}
+    # the kept set, by hand:
+    assert got == {
+        ("s0", "/s0/page1.html"),
+        ("s0", "/s0/q1.php?k=v1&x=y2"),
+        ("s0", "/s0/abs1"),
+        ("s0", "/s0/п1"),
+        ("s0", "/shared/hub"),
+        ("s0", "/s0/single2"),
+        ("s0", "/s0/trail1/"),
+        ("s1", "/shared/hub"),
+    }
+    # notably absent: /s0/doc2 and /s0/doc1 (existing pages), /up1 (depth),
+    # foreign domains, 'mailto:', '/b.html' (root-level .html cannot satisfy
+    # SLASH_TEXT_SLASH + TDT\.html — the reference's own regexes reject it),
+    # '/s0/sp ace1' (decoded space fails every pattern), '/s0/%E2' (decode
+    # failure keeps the raw href, '%' fails every pattern).
+
+
+def test_candidates_keep_pre_dedup_multiplicity(spark, pages_df):
+    cands = link_candidates(pages_df)
+    hub = cands.filter("link = '/shared/hub'").collect()
+    # emitted by all three pages, deduplicated only in the frontier
+    assert len(hub) == 3
+    assert extract_frontier(pages_df).filter("path = '/shared/hub'").count() == 2
+
+
+def test_depth_rule_is_non_strict(spark):
+    # equal depth passes (urlLevel - subUrlLevel >= 0, PageIndexer.java:185)
+    df = spark.createDataFrame(
+        [("s", "https://d", "/a/b", '<a href="/c/d">x</a><a href="/e">y</a>')],
+        "site string, domain string, path string, html string",
+    )
+    got = {r.path for r in extract_frontier(df).collect()}
+    assert got == {"/c/d"}
+
+
+def test_plan_is_codegen_no_python(spark, pages_df):
+    plan = extract_frontier(pages_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
