@@ -59,8 +59,13 @@ PAGES = [
 
 
 def oracle_frontier(pages):
-    """The reference algorithm, straight-line Python."""
-    pats = [re.compile(p) for p in site_link_patterns("")]
+    """The reference algorithm, straight-line Python. re.ASCII pins Python's
+    `\\w` to Java's default ASCII semantics (java.util.regex without
+    UNICODE_CHARACTER_CLASS, the reference's and Spark's engine; RE2 in the
+    DuckDB oracle is ASCII-`\\w` too) — without it Python alone would accept
+    cyrillic inside TDT and this oracle would be looser than the reference.
+    The explicit А-Яа-я ranges in RUDRU are untouched by the flag."""
+    pats = [re.compile(p, re.ASCII) for p in site_link_patterns("")]
     seen = {(s, p) for s, _, p, _ in pages}
     out = set()
     for site, domain, path, html in pages:
@@ -130,6 +135,68 @@ def test_depth_rule_is_non_strict(spark):
     )
     got = {r.path for r in extract_frontier(df).collect()}
     assert got == {"/c/d"}
+
+
+def test_fuzz_parity_with_reference_oracle(spark):
+    """300 seeded-random hrefs composed from adversarial fragments — valid
+    and malformed escapes, cyrillic, absolute/relative, query params, dots,
+    double slashes — must produce the identical frontier in the Spark
+    operator and the straight-line reference oracle. Intermediate decode
+    behavior may differ on malformed UTF-8 (java URLDecoder substitutes
+    U+FFFD where Python strict-raises and keeps the raw href), but neither
+    form can match any site pattern, so frontier equality is exact."""
+    import random
+
+    rng = random.Random(0)
+    frags = [
+        "/abc", "/p1", "/doc", "/п", "/тест", "%20", "%D0%BF", "%2F", "%ZZ",
+        "%E2", "%C3%28", ".html", ".php", "?a=b", "&c=d", "?п=х", "/", "//",
+        "..", "+", "-x", "_y", "5", "а", "http://", "https://s0.example.com",
+        "https://other.org", "mailto:", "#frag", " ",
+    ]
+    hrefs = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 6)))
+        for _ in range(300)
+    ]
+    html = "".join(f'<a href="{h}">x</a>' for h in hrefs if '"' not in h)
+    pages = [("s0", "https://s0.example.com", "/s0/doc1", html)]
+    df = spark.createDataFrame(
+        pages, "site string, domain string, path string, html string"
+    )
+    got = {(r.site, r.path) for r in extract_frontier(df).collect()}
+    assert got == oracle_frontier(pages)
+    assert got, "fuzz corpus produced an empty frontier — fragments too hostile"
+
+
+def test_patterns_agree_across_regex_engines():
+    """The four site patterns must classify identically under java-semantics
+    Python re (re.ASCII ≡ java.util.regex default, the Spark/rlike engine)
+    and RE2 (the DuckDB CORRECTNESS oracle's engine) — anchored full-match
+    membership is a language property, so any disagreement is a dialect bug
+    in the oracle SQL."""
+    import random
+
+    import duckdb
+
+    pats = site_link_patterns("")
+    py = [re.compile(p, re.ASCII) for p in pats]
+    rng = random.Random(1)
+    frags = [
+        "/abc", "/п", "/тест", ".html", ".php", "?a=b", "&c=d", "?п=х",
+        "/", "//", "-x", "_y", "5", "а", " ", ".", "п1", "/a.b",
+    ]
+    cands = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    con = duckdb.connect()
+    match_sql = " or ".join(f"regexp_matches(s, '{p}')" for p in pats)
+    got = con.execute(
+        f"select s, ({match_sql}) from (select unnest(?) as s)", [cands]
+    ).fetchall()
+    for s, duck_m in got:
+        py_m = any(p.match(s) for p in py)
+        assert bool(duck_m) == py_m, f"engine disagreement on {s!r}"
 
 
 def test_plan_is_codegen_no_python(spark, pages_df):
