@@ -6,6 +6,11 @@ from searchengine_spark.functions.lemmatize import (  # noqa: F401
     lemmas_udf,
     lemma_counts_udf,
 )
+from searchengine_spark.functions.links import (  # noqa: F401
+    extract_frontier,
+    link_candidates,
+    site_link_patterns,
+)
 from searchengine_spark.functions.codec import (  # noqa: F401
     varint_encode,
     varint_decode,
