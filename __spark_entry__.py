@@ -562,6 +562,27 @@ def q_url_decode(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode (no stub): deterministic PNG/WAV payloads are
+    synthesized per doc_id and decoded by the from-scratch codecs
+    (analysis/media_codecs.py — zlib inflate + RFC 2083 scanline unfilter;
+    RIFF/PCM) inside Arrow batches. Rows-only driver check: a zlib stream
+    isn't expressible in DuckDB SQL, so this query has NO oracle_sql entry
+    by design; decode correctness is pinned by tests/test_media_codecs.py
+    (round-trip exactness, per-filter-type reference vectors, e2e parity
+    against locally-computed numpy features)."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synthetic_media_payloads(docs)
+    return multimodal.decode_media_features(payloads)
+
+
+#: queries that intentionally ship without a DuckDB oracle (non-SQL-
+#: expressible); the driver records a rows-only check for these, and the
+#: in-repo parity test requires membership here so an accidentally-missing
+#: oracle still fails loudly.
+ROWS_ONLY_QUERIES = frozenset({"q_media_decode"})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_eligible": q_eligible,
@@ -606,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_link_frontier": q_link_frontier,
         "q_url_decode": q_url_decode,
+        "q_media_decode": q_media_decode,
     }
 
 

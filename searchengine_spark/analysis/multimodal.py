@@ -2,12 +2,20 @@
 
 Real pipelines carry image/audio/video as ``binary`` columns with a metadata
 struct, and decode/featurize inside Arrow-batched ``mapInPandas`` so bytes
-never round-trip through Python row objects. The decode libraries aren't in
-this container, so the decode step is a clearly-marked STUB
-(:func:`decode_image_stub` raises ``NotImplementedError``; the pipeline uses
-:func:`_fake_features`, a deterministic pure-bytes featurizer) — but the
-Spark-side plumbing (schema, batch iteration, partitioning, output shape) is
-the real thing and is what the tests cover.
+never round-trip through Python row objects.
+
+Decode status by format:
+
+- ``image/png`` and ``audio/wav``: REAL decoders, written from the public
+  specs in numpy + stdlib zlib/struct (``analysis/media_codecs.py``) —
+  :func:`decode_media_features` runs them inside the Arrow batches.
+- JPEG / video: still a clearly-marked STUB (:func:`decode_image_stub`
+  raises ``NotImplementedError``) — DCT/ffmpeg codecs aren't in this
+  container and are out of scope for a from-scratch build.
+- :func:`extract_features` (+ :func:`_fake_features`) remains the
+  format-agnostic pure-bytes featurizer with a byte-accurate DuckDB oracle
+  (``q_multimodal_binary``); the PNG/WAV path is pytest-verified via
+  encode→decode round-trips (zlib output isn't SQL-expressible).
 """
 
 from __future__ import annotations
@@ -57,10 +65,110 @@ def synthetic_binary_payloads(documents: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> "object":
-    """STUB: real deployments decode with PIL/ffmpeg here (not installed in
-    this container)."""
+    """STUB for the formats that genuinely need external codecs (JPEG's DCT,
+    video via ffmpeg — not installed in this container, and a from-scratch
+    DCT pipeline is out of scope). PNG and PCM WAV decode is REAL — see
+    :mod:`searchengine_spark.analysis.media_codecs` and
+    :func:`decode_media_features`."""
     raise NotImplementedError(
-        "image/audio decode requires PIL/ffmpeg; wire the real decoder here"
+        "JPEG/video decode requires PIL/ffmpeg; PNG and WAV are implemented "
+        "in analysis/media_codecs.py"
+    )
+
+
+# decoded-media feature schema: one row per payload, modality-specific
+# columns null for the other modality
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, channels int, "
+    "pixel_mean double, sample_rate int, n_samples long, rms double"
+)
+
+
+def decode_media_features(payloads: DataFrame) -> DataFrame:
+    """REAL decode + featurize over the binary column, Arrow-batched
+    (``mapInPandas``): ``image/png`` payloads through the from-scratch PNG
+    decoder (zlib inflate + scanline unfilter,
+    :func:`media_codecs.png_decode`), ``audio/wav`` through the RIFF/PCM
+    decoder. Emits per-payload modality features — image (width, height,
+    channels, pixel mean), audio (rate, sample count, RMS). Unknown media
+    types raise (no silent drops); batch shape and partitioning are
+    identical to :func:`extract_features`, so the scale path
+    (rows-per-executor parallelism, decoder state loaded once per
+    partition) is the same."""
+    from searchengine_spark.analysis import media_codecs as mc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, media_type in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if media_type == "image/png":
+                    img = mc.png_decode(bytes(payload))
+                    h, w, c = img.shape
+                    rows.append(
+                        (doc_id, media_type, w, h, c,
+                         round(float(img.mean()), 6), None, None, None)
+                    )
+                elif media_type == "audio/wav":
+                    samples, rate = mc.wav_decode(bytes(payload))
+                    rms = float(
+                        np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                    )
+                    rows.append(
+                        (doc_id, media_type, None, None, None, None,
+                         rate, samples.shape[0], round(rms, 6))
+                    )
+                else:
+                    raise ValueError(f"no decoder for media type {media_type}")
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height", "channels",
+                    "pixel_mean", "sample_rate", "n_samples", "rms",
+                ],
+            )
+
+    return payloads.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def synthetic_media_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-media fixture: even doc_ids carry an actual PNG
+    (8×6 RGB, pixel values a fixed function of (doc_id, x, y, channel)),
+    odd doc_ids an actual PCM WAV (64 samples of a doc_id-seeded integer
+    ramp at 8 kHz). Encoding runs in the same Arrow batches the decode path
+    uses, so the fixture exercises real binary payloads end-to-end without
+    any external library."""
+    from searchengine_spark.analysis import media_codecs as mc
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    y, x, c = np.meshgrid(
+                        np.arange(6), np.arange(8), np.arange(3),
+                        indexing="ij",
+                    )
+                    img = ((d + 3 * x + 5 * y + 17 * c) % 256).astype("uint8")
+                    rows.append((d, mc.png_encode(img), "image/png"))
+                else:
+                    t = np.arange(64, dtype=np.int64)
+                    samples = (((d * 31 + t * 7) % 4096) - 2048).astype(
+                        "int16"
+                    )
+                    rows.append((d, mc.wav_encode(samples, 8000), "audio/wav"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary, media_type string"
     )
 
 

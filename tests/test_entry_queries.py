@@ -59,6 +59,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    if name in entrymod.ROWS_ONLY_QUERIES:
+        # declared non-SQL-expressible: the driver runs a rows-only check;
+        # here pin that it runs, returns rows, and keeps a stable schema
+        assert name not in os_, f"{name} declared rows-only but has an oracle"
+        df = qs[name](spark, SF_DIR)
+        pdf = df.toPandas()
+        assert len(pdf) > 0, f"{name} returned no rows"
+        assert list(pdf.columns) == [f.name for f in df.schema.fields]
+        return
     assert name in os_, f"{name} has no oracle"
     got_raw = qs[name](spark, SF_DIR).toPandas()
     exp_raw = duck.execute(os_[name]).df()
