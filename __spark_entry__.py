@@ -1479,9 +1479,12 @@ from r where rn = 1
     # depth rule → dedup-minus-known in DuckDB. The decode is a chained
     # replace over the corpus's pinned escape vocabulary (%20, %D0%BF) —
     # DuckDB 1.0 has no url_decode; the vocabulary is fixed by _LNK_HTML.
-    from searchengine_spark.functions.links import HREF_PATTERN, site_link_patterns
+    from searchengine_spark.functions.links import HREF_PATTERNS, site_link_patterns
 
-    lnk_href = HREF_PATTERN.replace("'", "''")
+    lnk_harvest = " || ".join(  # DuckDB || concatenates lists
+        "regexp_extract_all(html, '{}', 1)".format(p.replace("'", "''"))
+        for p in HREF_PATTERNS
+    )
     lnk_match = " or ".join(
         f"regexp_matches(rel, '{p}')" for p in site_link_patterns("")
     )
@@ -1493,7 +1496,7 @@ with pages as (
 ),
 hrefs as (
   select site, domain, path,
-         unnest(regexp_extract_all(html, '{lnk_href}', 1)) as href
+         replace(unnest({lnk_harvest}), '&amp;', '&') as href
   from pages
 ),
 decoded as (

@@ -75,8 +75,23 @@ SEARCH_PARAMS_RU = f"(\\?{RUDRU}={RUDRU}(&{RUDRU}={RUDRU})*)?"
 PHP_URL = f"{TDT}\\.php"
 HTML_URL = f"{TDT}\\.html"
 
-# href attribute harvest: double- or single-quoted <a ... href="...">
-HREF_PATTERN = r"""<a\s[^>]*href=["']([^"']*)["']"""
+# href attribute harvest. jsoup (the reference's parser) matches attribute
+# names case-insensitively, tolerates whitespace around '=', and accepts
+# double-quoted / single-quoted / bare values — three exact patterns (a
+# single ["']...["'] class would accept mismatched quotes). (?i) is valid
+# in both java.util.regex (Spark) and RE2 (the DuckDB oracle). jsoup also
+# HTML-entity-decodes attribute values before the reference ever sees the
+# href; of the common entities only &amp; yields a character the site
+# patterns can accept, so the harvest decodes exactly that (documented
+# subset — &lt;/&gt;/&quot;/&#39; all decode to characters every pattern
+# rejects, making them outcome-equivalent to not decoding).
+HREF_PATTERNS = [
+    r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"',
+    r"(?i)<a\s[^>]*href\s*=\s*'([^']*)'",
+    r"""(?i)<a\s[^>]*href\s*=\s*([^\s>"'][^\s>]*)""",
+]
+#: legacy single-pattern alias (double-quoted form) — prefer HREF_PATTERNS
+HREF_PATTERN = HREF_PATTERNS[0]
 
 
 def site_link_patterns(sub_domain: str = "") -> list[str]:
@@ -105,12 +120,24 @@ def link_candidates(
     Input: one row per fetched page (site, domain, path, html). Output: one
     row per SURVIVING anchor — (site, path, link) — before frontier dedup.
     """
-    href = F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1))
+    harvested = F.concat(
+        *[
+            F.regexp_extract_all(F.col(html_col), F.lit(p), 1)
+            for p in HREF_PATTERNS
+        ]
+    )
     out = pages.select(
         F.col(site_col).alias("site"),
         F.col(domain_col).alias("domain"),
         F.col(path_col).alias("path"),
-        href.alias("href"),
+        F.explode(harvested).alias("href_raw"),
+    ).select(
+        "site",
+        "domain",
+        "path",
+        # jsoup entity-decodes attribute values; &amp; is the only common
+        # entity whose decoded char the site patterns accept (see above)
+        F.replace(F.col("href_raw"), F.lit("&amp;"), F.lit("&")).alias("href"),
     )
     # T8: decode only when '%' is present; failed decode keeps the raw href
     # (PageIndexer.java:195-202 catches IllegalArgumentException).

@@ -12,6 +12,7 @@ from urllib.parse import unquote
 import pytest
 
 from searchengine_spark.functions.links import (
+    HREF_PATTERNS,
     extract_frontier,
     link_candidates,
     site_link_patterns,
@@ -38,6 +39,9 @@ PAGES = [
         "<a href='/s0/single2'>single-quoted kept</a>"
         '<a href="mailto:x@y.z">mailto rejected</a>'
         '<a href="/s0/trail1/">trailing slash kept</a>'
+        "<A HREF=/s0/bare3>uppercase tag, unquoted value kept</A>"
+        '<a class="x" href = "/s0/eq4">spaces around = kept</a>'
+        '<a href="/s0/amp5.php?a=1&amp;b=2">entity-decoded &amp; kept</a>'
         "</body></html>",
     ),
     (
@@ -69,7 +73,8 @@ def oracle_frontier(pages):
     seen = {(s, p) for s, _, p, _ in pages}
     out = set()
     for site, domain, path, html in pages:
-        for href in re.findall(r"""<a\s[^>]*href=["']([^"']*)["']""", html):
+        harvested = [h for p in HREF_PATTERNS for h in re.findall(p, html)]
+        for href in (h.replace("&amp;", "&") for h in harvested):
             if "%" in href:
                 try:
                     dec = unquote(href, encoding="utf-8", errors="strict")
@@ -110,6 +115,9 @@ def test_frontier_expected_rows(spark, pages_df):
         ("s0", "/shared/hub"),
         ("s0", "/s0/single2"),
         ("s0", "/s0/trail1/"),
+        ("s0", "/s0/bare3"),
+        ("s0", "/s0/eq4"),
+        ("s0", "/s0/amp5.php?a=1&b=2"),
         ("s1", "/shared/hub"),
     }
     # notably absent: /s0/doc2 and /s0/doc1 (existing pages), /up1 (depth),
