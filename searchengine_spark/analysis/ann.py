@@ -179,18 +179,26 @@ def lsh_sign_buckets(
             )
         dim = len(row[0])
     planes = random_hyperplanes(n_bits, dim, n_tables, seed)
-    tables = [
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.lit(t).alias("lsh_table"),
-            _bucket_col(vec_col, planes[t]).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    out = tables[0]
-    for extra in tables[1:]:
-        out = out.unionByName(extra)
-    return out
+    # ONE scan for all tables: compute every table's bucket in the same
+    # projection and explode an n_tables-length struct array. The previous
+    # unionByName-of-selects shape planned one FileScan PER TABLE — n_tables×
+    # the corpus I/O, which is the dominant cost at 100 TB. The per-table
+    # bucket expressions are unchanged, so values (and the oracle SQL) are
+    # bit-identical; only the plan differs (Scan → Project → Generate).
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("lsh_table"),
+                        _bucket_col(vec_col, planes[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("vec_id", "_tb.lsh_table", "_tb.bucket")
 
 
 #: Lloyd refinement rounds for the IVF coarse quantizer. Each round is one

@@ -185,19 +185,31 @@ def minhash_lsh_pairs(
     connected through their canonical. Cross-band dedup is one distinct()."""
     rows = k // bands
     sigs = minhash_signatures(documents, k)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sigs.select(
-                F.col("doc_id"),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
+    # ONE pass over the signatures: every band's key is built in the same
+    # projection and exploded. The previous unionByName-of-selects planned
+    # the whole signature job (scan + (doc, word) shuffle + k-min aggregate)
+    # once PER BAND — bands× the corpus work. Values are unchanged (same
+    # band_key expressions), only the plan shape differs.
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"s{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+        ).alias("_bk"),
+    ).select("doc_id", "_bk.band", "_bk.band_key")
     return star_pairs(banded, ["band", "band_key"], "doc_id")
 
 
@@ -248,14 +260,25 @@ def simhash_pairs(
     w = bits // chunks
     mask = (1 << w) - 1
     sigs = simhash(documents, bits)
-    bands = None
-    for c in range(chunks):
-        b = sigs.select(
-            "doc_id",
-            F.lit(c).alias("band"),
-            (F.shiftright("simhash", c * w) % F.lit(mask + 1)).alias("key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # ONE pass over the signatures (see minhash_lsh_pairs): the previous
+    # per-chunk unionByName re-planned the whole simhash job (scan + two
+    # shuffles) once per chunk. Same chunk-key expressions, same values.
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        (F.shiftright("simhash", c * w) % F.lit(mask + 1)).alias(
+                            "key"
+                        ),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_ck"),
+    ).select("doc_id", "_ck.band", "_ck.key")
     cand = star_pairs(bands, ["band", "key"], "doc_id")
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_sb"))
