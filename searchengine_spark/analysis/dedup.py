@@ -67,6 +67,17 @@ def star_pairs(
     becomes a single-task straggler even though its output is O(m). The
     groupBy runs map-side partial min and the joins spread hot buckets
     across normal hash-join tasks."""
+    # the bucketed frame is referenced four times below (stats, the
+    # join-back, both sides of the small self-join); without a persist each
+    # reference re-plans the ENTIRE upstream job (the corpus scan + the
+    # signature shuffle for the LSH/MinHash/SimHash callers). The frame is
+    # (id, bucket-key) rows — tiny next to the corpus — so one
+    # MEMORY_AND_DISK copy trades O(1) small storage for 4× the dominant
+    # cost. No unpersist handle on a lazy return: ContextCleaner reclaims
+    # the blocks when the result DataFrame is garbage collected.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     stats = df.groupBy(*bucket_cols).agg(
         F.count("*").alias("_cnt"), F.min(id_col).alias("_canon")
     )
@@ -97,9 +108,16 @@ def _minhash_col(h, k):
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """(doc_id, text_hash, canonical_doc, is_dup): canonical = min doc_id of
     the identical-text group; eligible docs only."""
-    hashed = documents.filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    ).select("doc_id", F.md5("text").alias("text_hash"))
+    from pyspark import StorageLevel
+
+    # referenced twice (canonical aggregate + join-back); persisting the
+    # (doc_id, 32-char hash) projection avoids a second full-text corpus
+    # scan + md5 pass
+    hashed = (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # groupBy+join, not min().over(window): a boilerplate hash group of 10^9
     # docs would otherwise buffer in one window task (see star_pairs)
     canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_doc"))
@@ -259,7 +277,12 @@ def simhash_pairs(
     chunks = max_hamming + 1
     w = bits // chunks
     mask = (1 << w) - 1
-    sigs = simhash(documents, bits)
+    from pyspark import StorageLevel
+
+    # sigs is referenced three times (chunk banding + both sides of the
+    # verify join); one persisted (doc_id, long) copy keeps the simhash
+    # job — corpus scan + two shuffles — from running three times
+    sigs = simhash(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE pass over the signatures (see minhash_lsh_pairs): the previous
     # per-chunk unionByName re-planned the whole simhash job (scan + two
     # shuffles) once per chunk. Same chunk-key expressions, same values.
@@ -308,7 +331,12 @@ def ngram_jaccard_pairs(
     pair join — the skewed-key guard; exact Jaccard is unaffected for pairs
     that share at least one surviving shingle (verification then uses the
     full shingle sets)."""
-    grams = word_ngrams(documents, n)  # distinct (doc_id, ngram)
+    from pyspark import StorageLevel
+
+    # distinct (doc_id, ngram) — referenced by the size aggregate, the df
+    # filter, both sides of the candidate join, and both sides of the exact
+    # re-verify: six re-plans of the tokenize+distinct job without a persist
+    grams = word_ngrams(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx = grams
     if max_shingle_df is not None:
