@@ -498,14 +498,32 @@ def filter_summary(
 
 def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Winnowing-style doc fingerprint: min portable-H32 over the doc's word
-    n-grams (falls back to H32 of the whole text for docs shorter than n
-    words). One agg; fingerprints are join keys for fast near-dup grouping."""
-    grams = word_ngrams(documents, n)
-    h = grams.select("doc_id", h32_col(F.col("ngram")).alias("h"))
-    fp = h.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
-    short = (
-        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .join(fp, "doc_id", "left_anti")
-        .select("doc_id", h32_col(F.lower("text")).alias("fingerprint"))
+    n-grams (falls back to H32 of the whole lowercased text for docs shorter
+    than n words).
+
+    A doc's n-grams all live in its own row, so the whole operator is ONE
+    in-row projection — ``array_min(transform(windows, h32))`` over the same
+    token array :func:`word_ngrams` slides, with ``coalesce`` supplying the
+    short-doc fallback (an empty window array min's to null). Zero shuffles,
+    one corpus scan, fully codegen'd; the previous explode → groupBy(min) →
+    anti-join-back shape paid a corpus-wide shuffle plus a second run of the
+    n-gram job just to find the short docs. min over the non-distinct gram
+    multiset equals min over the distinct set, so values are unchanged."""
+    d = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), WORD_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+        F.lower("text").alias("_lt"),
     )
-    return fp.unionByName(short)
+    idxs = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    minh = F.array_min(
+        F.transform(idxs, lambda i: h32_col(F.concat_ws(" ", F.slice("ws", i + 1, n))))
+    )
+    return d.select(
+        "doc_id", F.coalesce(minh, h32_col(F.col("_lt"))).alias("fingerprint")
+    )
