@@ -180,14 +180,36 @@ def doc_terms(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, s0..s{k-1}): k-permutation MinHash over the doc's distinct
-    words. Map-side partial min → shuffle carries k longs per doc."""
-    t = doc_terms(documents).withColumn("_h32", h32_col(F.col("word")))
-    hashed = t.select(
-        "doc_id",
-        *[_minhash_col(F.col("_h32"), i).alias(f"h{i}") for i in range(k)],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"s{i}") for i in range(k)]
+    words.
+
+    A doc's word set lives in its own row, so the whole signature is ONE
+    in-row projection: H32 each distinct token once into an array, then take
+    k ``array_min``s of affine transforms of that array — no (doc, word)
+    explode, no distinct shuffle, no groupBy. Docs with zero letter tokens
+    are absent, matching the previous aggregate-over-words shape; values are
+    identical (same H32, same affine permutations, same min)."""
+    from searchengine_spark.analysis.textstats import WORD_SPLIT
+
+    ws = F.filter(F.split(F.lower("text"), WORD_SPLIT), lambda x: x != "")
+    harr = F.transform(F.array_distinct(ws), lambda x: h32_col(x))
+    return (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", harr.alias("_h"))
+        .filter(F.size("_h") > 0)
+        .select(
+            "doc_id",
+            *[
+                # arity-1 closure: a two-arg lambda would make transform()
+                # bind the array index to the second parameter
+                F.array_min(
+                    F.transform(
+                        F.col("_h"),
+                        (lambda i: lambda h: _minhash_col(h, i))(i),
+                    )
+                ).alias(f"s{i}")
+                for i in range(k)
+            ],
+        )
     )
 
 

@@ -44,21 +44,25 @@ def words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-doc token counting: whitespace tokens, letter-run tokens, distinct
-    letter-run tokens, char count. One aggregation, no shuffle beyond it."""
-    w = words(documents)
-    alpha = w.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("word").alias("n_distinct"),
-    )
-    base = documents.filter(
+    letter-run tokens, char count.
+
+    All four counts derive from the doc's own row (size / array_distinct
+    over the in-row token array), so the operator is ONE codegen'd
+    projection — no (doc, word) explode, no shuffle, no join-back. A doc
+    with no letter runs gets an empty array, so its counts are 0 exactly as
+    the previous left-join + fillna emitted."""
+    ws = F.filter(F.split(F.lower("text"), WORD_SPLIT), lambda x: x != "")
+    return documents.filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     ).select(
         "doc_id",
         F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
         F.length("text").alias("n_chars"),
-    )
-    return base.join(alpha, "doc_id", "left").fillna(
-        0, subset=["n_tokens", "n_distinct"]
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    ).select(
+        # column order of the previous join-based shape
+        "doc_id", "n_ws_tokens", "n_chars", "n_tokens", "n_distinct"
     )
 
 
@@ -97,13 +101,23 @@ def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: share of English function words among
     tokens; ≥ threshold → 'en', else 'und'. (The real corpus would add more
     languages' marker sets — same plan shape, one agg.)"""
-    w = words(documents)
-    agg = w.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("word").isin(*EN_MARKERS).cast("long")).alias("n_en"),
+    # in-row counts over the doc's own token array — no (doc, word) explode,
+    # no shuffle. Docs with zero letter tokens are absent, matching the
+    # previous groupBy-over-words shape.
+    ws = F.filter(F.split(F.lower("text"), WORD_SPLIT), lambda x: x != "")
+    d = (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n"),
+            F.size(F.filter(ws, lambda x: x.isin(*EN_MARKERS))).cast("long").alias(
+                "n_en"
+            ),
+        )
+        .filter(F.col("n") > 0)
     )
     # raw int ratio — bit-identical across engines, no rounding needed
-    return agg.select(
+    return d.select(
         "doc_id",
         (F.col("n_en") / F.col("n")).alias("en_ratio"),
         F.when(F.col("n_en") / F.col("n") >= LANG_EN_THRESHOLD, F.lit("en"))
