@@ -255,31 +255,37 @@ def minhash_lsh_pairs(
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign aggregation of each word-hash bit.
-    bit_i(doc) = 1 iff Σ_words tf·(2·bit_i(H32(word))−1) > 0."""
-    w = (
-        words(documents)
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("_h32", h32_col(F.col("word")))
+    bit_i(doc) = 1 iff Σ_words tf·(2·bit_i(H32(word))−1) > 0.
+
+    tf-weighting over distinct words equals a plain sum over token
+    OCCURRENCES, so the whole signature is ONE in-row projection: hash the
+    doc's own token array once, then per bit fold ±1 contributions with
+    ``aggregate`` — no (doc, word) tf shuffle, no per-doc groupBy (the
+    previous shape paid both, corpus-wide). Docs with zero letter tokens are
+    absent, as before; values are identical."""
+    from searchengine_spark.analysis.textstats import WORD_SPLIT
+
+    ws = F.filter(F.split(F.lower("text"), WORD_SPLIT), lambda x: x != "")
+    harr = F.transform(ws, lambda x: h32_col(x))
+    base = (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", harr.alias("_h"))
+        .filter(F.size("_h") > 0)
     )
-    # bit_i from the shared H32 column: (h >> i) & 1 == floor(h/2^i) % 2
-    contrib = w.select(
-        "doc_id",
-        *[
-            (
-                F.col("tf") * ((F.shiftright("_h32", i) % 2) * 2 - 1)
-            ).alias(f"c{i}")
-            for i in range(bits)
-        ],
-    )
-    agg = contrib.groupBy("doc_id").agg(
-        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(bits)]
-    )
+
+    def cbit(i: int):
+        # bit_i from the element hash: (h >> i) & 1 == floor(h/2^i) % 2
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            (lambda i: lambda acc, h: acc + (F.shiftright(h, i) % 2) * 2 - 1)(i),
+        )
+
     sig = None
     for i in range(bits):
-        term = F.when(F.col(f"c{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        term = F.when(cbit(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    return base.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
